@@ -1,0 +1,107 @@
+"""Driver benchmark: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+North-star metric (BASELINE.json): frames/sec/chip for Wan2.1-14B 480p,
+50-step denoise. The 14B model in bf16 (~28 GB) exceeds a single v5e chip's
+HBM, so this measures the per-layer step cost at the real 480p/49-frame token
+shape and derives the full-model step time by layer extrapolation; once the
+weight-streaming executor lands this becomes a direct measurement.
+
+vs_baseline: the A100 reference has no published WorldForge throughput
+(SURVEY.md §6); we report vs an estimated A100 structural baseline of
+50 steps x 2 CFG x ~5.5 s/fwd(14B, 20k tokens, A100 ~300 TFLOP/s bf16
+at 40% MFU) ≈ 0.09 frames/sec — updated when real A100 numbers exist.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+A100_BASELINE_FPS = 0.089  # structural estimate, see module docstring
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    # axon tunnel: block_until_ready may return early; force a host read of a
+    # single element (device-side index, then scalar transfer).
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def bench_wan_dit_480p():
+    from worldforge_tpu.models.wan.dit import (
+        WanDiTConfig, init_wan_dit_layer, wan_dit_layer_forward)
+
+    cfg = WanDiTConfig.wan_14b_i2v()
+    f, h, w = 13, 30, 52          # 480p x 49 frames -> 20280 tokens
+    seq = f * h * w
+    key = jax.random.key(0)
+    layer = init_wan_dit_layer(key, cfg)
+
+    x = jax.random.normal(key, (1, seq, cfg.dim), jnp.bfloat16)
+    e = jax.random.normal(key, (1, 6, cfg.dim), jnp.float32)
+    ctx = jax.random.normal(key, (1, cfg.text_len + 257, cfg.dim), jnp.bfloat16)
+
+    from worldforge_tpu.ops.rope import rope_cos_sin
+    cos, sin = rope_cos_sin(f, h, w, cfg.dim // cfg.num_heads)
+
+    def step(layer, x, e, ctx):
+        return wan_dit_layer_forward(layer, cfg, x, e, ctx, cos, sin,
+                                     img_ctx_len=257)
+
+    step = jax.jit(step)
+    out = step(layer, x, e, ctx)
+    _sync(out)
+    n_iter = 8
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(layer, out.astype(jnp.bfloat16), e, ctx)
+    _sync(out)
+    per_layer = (time.perf_counter() - t0) / n_iter
+
+    num_steps, cfg_mult, frames = 50, 2, 49
+    step_time = per_layer * cfg.num_layers
+    total = num_steps * cfg_mult * step_time
+    return frames / total
+
+
+def bench_attention_only():
+    from worldforge_tpu.ops.flash_attention import flash_attention
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (1, 20480, 40, 128), jnp.bfloat16)
+    o = flash_attention(q, q, q)
+    _sync(o)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        o = flash_attention(q, q, q)
+    _sync(o)
+    dt = (time.perf_counter() - t0) / 3
+    # express as frames/sec assuming attention is ~40% of a layer -> rough
+    return None, dt
+
+
+def main():
+    try:
+        fps = bench_wan_dit_480p()
+        print(json.dumps({
+            "metric": "frames/sec/chip (Wan2.1-14B 480p, 50 steps, layer-extrapolated)",
+            "value": round(fps, 4),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+        }))
+    except ImportError:
+        _, dt = bench_attention_only()
+        print(json.dumps({
+            "metric": "flash-attention ms (Wan 480p self-attn shape)",
+            "value": round(dt * 1e3, 2),
+            "unit": "ms",
+            "vs_baseline": 0.0,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""3D rotary position embeddings for video DiTs.
+
+Behavioral spec from the reference:
+  - Wan: head_dim d split into (d - 4*(d//6), 2*(d//6), 2*(d//6)) for (t,h,w);
+    complex rotation per pair; freqs theta=10000
+    (/root/reference/wan_for_worldforge/wan/modules/model.py:31-70, 478-485).
+  - LongCat uses the same split (dim_t = D - 4*(D//6), dim_h = dim_w =
+    2*(D//6)), see longcat_video/modules/rope_3d.py:41-119.
+
+Implemented with real cos/sin pairs in fp32 (complex math is a poor fit for
+the VPU). Pair convention matches torch.view_as_complex on a [..., d/2, 2]
+reshape: even/odd interleaved pairs (x[2i], x[2i+1]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _freqs_1d(positions: np.ndarray, dim: int, theta: float = 10000.0):
+    """Angles [len(positions), dim/2] in float64 → float32 (matches the
+    reference's float64 rope_params)."""
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    ang = np.outer(positions.astype(np.float64), inv)
+    return ang
+
+
+def rope_3d_split(head_dim: int) -> Tuple[int, int, int]:
+    """(dim_t, dim_h, dim_w) split of head_dim (each even)."""
+    dh = 2 * (head_dim // 6)
+    return head_dim - 2 * dh, dh, dh
+
+
+@functools.lru_cache(maxsize=32)
+def rope_3d_angles(f: int, h: int, w: int, head_dim: int,
+                   theta: float = 10000.0,
+                   h_offset: int = 0, w_offset: int = 0) -> np.ndarray:
+    """Per-token rotation angles [f*h*w, head_dim/2] (numpy, cached).
+
+    h_offset/w_offset support context-parallel shards that own a spatial
+    sub-rectangle (reference shards precomputed freqs, rope_3d.py:91-96).
+    """
+    dim_t, dim_h, dim_w = rope_3d_split(head_dim)
+    ang_t = _freqs_1d(np.arange(f), dim_t, theta)            # [f, dim_t/2]
+    ang_h = _freqs_1d(np.arange(h_offset, h_offset + h), dim_h, theta)
+    ang_w = _freqs_1d(np.arange(w_offset, w_offset + w), dim_w, theta)
+    out = np.concatenate([
+        np.broadcast_to(ang_t[:, None, None, :], (f, h, w, dim_t // 2)),
+        np.broadcast_to(ang_h[None, :, None, :], (f, h, w, dim_h // 2)),
+        np.broadcast_to(ang_w[None, None, :, :], (f, h, w, dim_w // 2)),
+    ], axis=-1).reshape(f * h * w, head_dim // 2)
+    return out.astype(np.float32)
+
+
+def rope_cos_sin(f: int, h: int, w: int, head_dim: int,
+                 theta: float = 10000.0, h_offset: int = 0,
+                 w_offset: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ang = rope_3d_angles(f, h, w, head_dim, theta, h_offset, w_offset)
+    return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+               out_dtype=None) -> jnp.ndarray:
+    """Rotate x [B, S, H, D] by per-token angles cos/sin [S, D/2].
+
+    Interleaved-pair convention: (x_even, x_odd) -> (x_even*cos - x_odd*sin,
+    x_even*sin + x_odd*cos), matching complex multiply in the reference
+    (model.py:55-65). Computed fp32, cast to out_dtype (reference returns
+    .float(); we keep compute dtype for the matmuls)."""
+    odtype = out_dtype or x.dtype
+    b, s, h, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, h, d // 2, 2)
+    xe, xo = xf[..., 0], xf[..., 1]
+    c = cos[None, :, None, :]
+    si = sin[None, :, None, :]
+    ye = xe * c - xo * si
+    yo = xe * si + xo * c
+    y = jnp.stack([ye, yo], axis=-1).reshape(b, s, h, d)
+    return y.astype(odtype)
