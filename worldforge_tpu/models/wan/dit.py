@@ -1,0 +1,334 @@
+"""Wan2.1 DiT denoiser (t2v / i2v), TPU-native.
+
+Behavioral reference: /root/reference/wan_for_worldforge/wan/modules/model.py
+(WanModel; the active WF path uses the numerically equivalent diffusers
+WanTransformer3DModel). Key behaviors reproduced:
+
+  - patch embed Conv3d kernel=stride=(1,2,2)    (model.py:456-457) — here a
+    reshape + dense (pure MXU matmul; conv kernel maps to dense weight with
+    (pt,ph,pw,cin) flatten order, see checkpoint converter)
+  - sinusoidal time embedding [cos|sin]         (model.py:18-28)
+  - adaLN: e0 = time_projection(time_embedding) -> [B,6,dim] fp32; per block
+    (modulation + e0).chunk(6) = (shift_sa, scale_sa, gate_sa, shift_ff,
+    scale_ff, gate_ff)                          (model.py:296-316)
+  - self-attn: QK RMSNorm, 3D RoPE on q,k       (model.py:105-159)
+  - i2v cross-attn: context = [257 CLIP tokens | 512 text tokens]; separate
+    k_img/v_img branch added to the text branch (model.py:187-229)
+  - FFN gelu(tanh)                              (model.py:271-273)
+  - head: (head_mod + e).chunk(2) modulated norm, zero-init output proj
+                                                (model.py:320-347, 631)
+  - fp32 islands: norms, modulation math, gated residual adds
+                                                (model.py:297-313)
+
+The residual stream is carried fp32 (matching the reference autocast
+islands); matmul inputs are cast to the policy compute dtype (bf16 on MXU).
+Layers are stacked and executed with lax.scan (one compiled block body).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from worldforge_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from worldforge_tpu.core import params as P
+from worldforge_tpu.ops.attention import attention
+from worldforge_tpu.ops.rope import apply_rope, rope_cos_sin
+
+CLIP_TOKENS = 257  # i2v CLIP image context tokens (model.py:14-15: 257 for i2v)
+
+
+@dataclasses.dataclass(frozen=True)
+class WanDiTConfig:
+    model_type: str = "i2v"  # 't2v' | 'i2v'
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    text_len: int = 512
+    in_dim: int = 36  # i2v: 16 latent + 4 mask + 16 first-frame cond
+    dim: int = 5120
+    ffn_dim: int = 13824
+    freq_dim: int = 256
+    text_dim: int = 4096
+    out_dim: int = 16
+    num_heads: int = 40
+    num_layers: int = 40
+    eps: float = 1e-6
+    clip_dim: int = 1280
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    @classmethod
+    def wan_14b_i2v(cls) -> "WanDiTConfig":
+        # /root/reference/wan_for_worldforge/wan/configs/wan_i2v_14B.py:27-36
+        return cls()
+
+    @classmethod
+    def wan_1_3b_t2v(cls) -> "WanDiTConfig":
+        return cls(model_type="t2v", in_dim=16, dim=1536, ffn_dim=8960,
+                   num_heads=12, num_layers=30)
+
+    @classmethod
+    def tiny(cls, model_type: str = "i2v") -> "WanDiTConfig":
+        in_dim = 36 if model_type == "i2v" else 16
+        return cls(model_type=model_type, in_dim=in_dim, dim=128,
+                   ffn_dim=256, num_heads=2, num_layers=2, text_len=16,
+                   text_dim=64, freq_dim=32)
+
+
+# ------------------------------------------------------------------ init
+
+
+def _attn_init(key, dim, *, img_branch=False, dtype=jnp.float32):
+    ks = P.split_keys(key, 6)
+    p = {
+        "q": P.dense_init(ks[0], dim, dim, dtype=dtype),
+        "k": P.dense_init(ks[1], dim, dim, dtype=dtype),
+        "v": P.dense_init(ks[2], dim, dim, dtype=dtype),
+        "o": P.dense_init(ks[3], dim, dim, dtype=dtype),
+        "norm_q": P.rms_norm_init(dim, dtype=dtype),
+        "norm_k": P.rms_norm_init(dim, dtype=dtype),
+    }
+    if img_branch:
+        p["k_img"] = P.dense_init(ks[4], dim, dim, dtype=dtype)
+        p["v_img"] = P.dense_init(ks[5], dim, dim, dtype=dtype)
+        p["norm_k_img"] = P.rms_norm_init(dim, dtype=dtype)
+    return p
+
+
+def init_wan_dit_layer(key, cfg: WanDiTConfig, dtype=jnp.float32) -> dict:
+    ks = P.split_keys(key, 5)
+    d = cfg.dim
+    return {
+        "self_attn": _attn_init(ks[0], d, dtype=dtype),
+        "cross_attn": _attn_init(ks[1], d,
+                                 img_branch=(cfg.model_type == "i2v"),
+                                 dtype=dtype),
+        "norm3": P.layer_norm_init(d, affine=True, dtype=dtype),
+        "ffn": {
+            "fc1": P.dense_init(ks[2], d, cfg.ffn_dim, dtype=dtype),
+            "fc2": P.dense_init(ks[3], cfg.ffn_dim, d, dtype=dtype),
+        },
+        "modulation": (jax.random.normal(ks[4], (1, 6, d)) / d**0.5
+                       ).astype(jnp.float32),  # kept fp32 (adaLN island)
+    }
+
+
+def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
+    ks = P.split_keys(key, 12)
+    d = cfg.dim
+    pin = cfg.in_dim * math.prod(cfg.patch_size)
+    layers = [init_wan_dit_layer(ks[0] if i == 0 else jax.random.fold_in(ks[0], i),
+                                 cfg, dtype=dtype)
+              for i in range(cfg.num_layers)]
+    blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    p = {
+        "patch_embedding": P.dense_init(ks[1], pin, d, dtype=dtype),
+        "text_embedding": {
+            "fc1": P.dense_init(ks[2], cfg.text_dim, d, init="normal", dtype=dtype),
+            "fc2": P.dense_init(ks[3], d, d, init="normal", dtype=dtype),
+        },
+        "time_embedding": {
+            "fc1": P.dense_init(ks[4], cfg.freq_dim, d, init="normal",
+                                dtype=jnp.float32),
+            "fc2": P.dense_init(ks[5], d, d, init="normal", dtype=jnp.float32),
+        },
+        "time_projection": P.dense_init(ks[6], d, d * 6, dtype=jnp.float32),
+        "blocks": blocks,
+        "head": {
+            "head": P.dense_init(ks[7], d, cfg.out_dim * math.prod(cfg.patch_size),
+                                 init="zeros", dtype=dtype),
+            "modulation": (jax.random.normal(ks[8], (1, 2, d)) / d**0.5
+                           ).astype(jnp.float32),
+        },
+    }
+    if cfg.model_type == "i2v":
+        c = cfg.clip_dim
+        p["img_emb"] = {
+            "norm_in": P.layer_norm_init(c, dtype=dtype),
+            "fc1": P.dense_init(ks[9], c, c, dtype=dtype),
+            "fc2": P.dense_init(ks[10], c, d, dtype=dtype),
+            "norm_out": P.layer_norm_init(d, dtype=dtype),
+        }
+    return p
+
+
+# ------------------------------------------------------------------ pieces
+
+
+def sinusoidal_embedding_1d(dim: int, t: jnp.ndarray) -> jnp.ndarray:
+    """[cos | sin] sinusoid, freq 10000^(-i/half) (model.py:18-28). fp32
+    (the reference computes fp64 then casts; fp32 is within 1e-7 here)."""
+    half = dim // 2
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def _heads(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h)
+
+
+def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
+                    attn_impl="auto"):
+    cdt = policy.compute_dtype
+    xq = x.astype(cdt)
+    q = P.rms_norm(p["norm_q"], P.dense(p["q"], xq), eps=cfg.eps)
+    k = P.rms_norm(p["norm_k"], P.dense(p["k"], xq), eps=cfg.eps)
+    v = P.dense(p["v"], xq)
+    h = cfg.num_heads
+    q = apply_rope(_heads(q, h), cos, sin)
+    k = apply_rope(_heads(k, h), cos, sin)
+    o = attention(q, k, _heads(v, h), impl=attn_impl)
+    o = o.reshape(x.shape[0], x.shape[1], cfg.dim)
+    return P.dense(p["o"], o)
+
+
+def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
+                     policy: Policy, attn_impl="auto"):
+    """context: [B, img_ctx_len + text_len, dim] (i2v) or [B, text_len, dim]."""
+    cdt = policy.compute_dtype
+    xq = x.astype(cdt)
+    ctx = context.astype(cdt)
+    h = cfg.num_heads
+    q = _heads(P.rms_norm(p["norm_q"], P.dense(p["q"], xq), eps=cfg.eps), h)
+    if img_ctx_len and cfg.model_type == "i2v":
+        ctx_img, ctx_txt = ctx[:, :img_ctx_len], ctx[:, img_ctx_len:]
+    else:
+        ctx_img, ctx_txt = None, ctx
+    k = _heads(P.rms_norm(p["norm_k"], P.dense(p["k"], ctx_txt), eps=cfg.eps), h)
+    v = _heads(P.dense(p["v"], ctx_txt), h)
+    o = attention(q, k, v, impl=attn_impl)
+    if ctx_img is not None:
+        k_i = _heads(P.rms_norm(p["norm_k_img"], P.dense(p["k_img"], ctx_img),
+                                eps=cfg.eps), h)
+        v_i = _heads(P.dense(p["v_img"], ctx_img), h)
+        o = o + attention(q, k_i, v_i, impl=attn_impl)
+    o = o.reshape(x.shape[0], x.shape[1], cfg.dim)
+    return P.dense(p["o"], o)
+
+
+def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
+                          img_ctx_len: int = 0,
+                          policy: Policy = DEFAULT_POLICY,
+                          attn_impl: str = "auto"):
+    """One WanAttentionBlock. x: [B, L, dim] (fp32 residual stream),
+    e0: [B, 6, dim] fp32, context: [B, Lc, dim]."""
+    mod = (p["modulation"].astype(jnp.float32) + e0.astype(jnp.float32))
+    sh_sa, sc_sa, g_sa, sh_ff, sc_ff, g_ff = [mod[:, i:i + 1] for i in range(6)]
+
+    xf = x.astype(jnp.float32)
+    h1 = P.layer_norm({}, xf, eps=cfg.eps, out_dtype=jnp.float32)
+    h1 = h1 * (1.0 + sc_sa) + sh_sa
+    y = _self_attention(p["self_attn"], cfg, h1.astype(policy.compute_dtype),
+                        cos, sin, policy, attn_impl)
+    xf = xf + y.astype(jnp.float32) * g_sa
+
+    h2 = P.layer_norm(p["norm3"], xf, eps=cfg.eps, out_dtype=policy.compute_dtype)
+    y = _cross_attention(p["cross_attn"], cfg, h2, context, img_ctx_len,
+                         policy, attn_impl)
+    xf = xf + y.astype(jnp.float32)
+
+    h3 = P.layer_norm({}, xf, eps=cfg.eps, out_dtype=jnp.float32)
+    h3 = (h3 * (1.0 + sc_ff) + sh_ff).astype(policy.compute_dtype)
+    y = P.dense(p["ffn"]["fc2"], P.gelu_tanh(P.dense(p["ffn"]["fc1"], h3)))
+    xf = xf + y.astype(jnp.float32) * g_ff
+    return xf
+
+
+def patchify(x: jnp.ndarray, patch: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, C, F, H, W] -> [B, F' * H' * W', pt*ph*pw*C] with feature order
+    (pt, ph, pw, c) matching a DHWIO conv kernel flatten."""
+    b, c, f, hh, ww = x.shape
+    pt, ph, pw = patch
+    x = x.reshape(b, c, f // pt, pt, hh // ph, ph, ww // pw, pw)
+    x = x.transpose(0, 2, 4, 6, 3, 5, 7, 1)  # b f' h' w' pt ph pw c
+    return x.reshape(b, (f // pt) * (hh // ph) * (ww // pw), pt * ph * pw * c)
+
+
+def unpatchify(x: jnp.ndarray, grid: Tuple[int, int, int],
+               patch: Tuple[int, int, int], out_dim: int) -> jnp.ndarray:
+    """[B, L, pt*ph*pw*C] -> [B, C, F, H, W]. Reference einsum
+    'fhwpqrc->cfphqwr' (model.py:584-607)."""
+    b = x.shape[0]
+    f, hh, ww = grid
+    pt, ph, pw = patch
+    x = x[:, :f * hh * ww].reshape(b, f, hh, ww, pt, ph, pw, out_dim)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)  # b c f pt h ph w pw
+    return x.reshape(b, out_dim, f * pt, hh * ph, ww * pw)
+
+
+# ------------------------------------------------------------------ forward
+
+
+def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
+                    clip_fea=None, y=None,
+                    policy: Policy = DEFAULT_POLICY,
+                    attn_impl: str = "auto",
+                    remat: bool = False):
+    """Full WanModel forward (model.py:493-582).
+
+    x: [B, 16, F, H, W] noisy latents; y: [B, 20, F, H, W] i2v conditioning
+    (mask 4ch + first-frame latents 16ch) concatenated on channels.
+    t: [B] timesteps. context: [B, text_len, text_dim] padded text embeds.
+    clip_fea: [B, 257, 1280] CLIP image tokens (i2v).
+    Returns [B, out_dim, F, H, W] fp32.
+    """
+    if y is not None:
+        x = jnp.concatenate([x, y], axis=1)
+    b = x.shape[0]
+    pt, ph, pw = cfg.patch_size
+    grid = (x.shape[2] // pt, x.shape[3] // ph, x.shape[4] // pw)
+    f, hh, ww = grid
+
+    tokens = patchify(x.astype(policy.compute_dtype), cfg.patch_size)
+    h0 = P.dense(params["patch_embedding"], tokens,
+                 compute_dtype=policy.compute_dtype)
+
+    # time embeddings (fp32 island, model.py:546-550)
+    te = sinusoidal_embedding_1d(cfg.freq_dim, t)
+    te = P.dense(params["time_embedding"]["fc1"], te, compute_dtype=jnp.float32)
+    e = P.dense(params["time_embedding"]["fc2"], jax.nn.silu(te),
+                compute_dtype=jnp.float32)  # [B, dim]
+    e0 = P.dense(params["time_projection"], jax.nn.silu(e),
+                 compute_dtype=jnp.float32).reshape(b, 6, cfg.dim)
+
+    # text context (padded to text_len upstream)
+    ctx = P.dense(params["text_embedding"]["fc2"],
+                  P.gelu_tanh(P.dense(params["text_embedding"]["fc1"],
+                                      context.astype(policy.compute_dtype))))
+    img_ctx_len = 0
+    if clip_fea is not None and cfg.model_type == "i2v":
+        ie = params["img_emb"]
+        ci = P.layer_norm(ie["norm_in"], clip_fea.astype(policy.compute_dtype),
+                          eps=1e-5)
+        ci = jax.nn.gelu(P.dense(ie["fc1"], ci.astype(policy.compute_dtype)),
+                         approximate=False)
+        ci = P.dense(ie["fc2"], ci)
+        ci = P.layer_norm(ie["norm_out"], ci, eps=1e-5)
+        ctx = jnp.concatenate([ci, ctx], axis=1)
+        img_ctx_len = clip_fea.shape[1]
+
+    cos, sin = rope_cos_sin(f, hh, ww, cfg.head_dim)
+
+    def body(carry, layer):
+        out = wan_dit_layer_forward(layer, cfg, carry, e0, ctx, cos, sin,
+                                    img_ctx_len, policy, attn_impl)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    hN, _ = jax.lax.scan(body, h0.astype(jnp.float32), params["blocks"])
+
+    # head (model.py:337-347)
+    hm = params["head"]["modulation"].astype(jnp.float32) + e[:, None]
+    sh, sc = hm[:, 0:1], hm[:, 1:2]
+    hN = P.layer_norm({}, hN, eps=cfg.eps, out_dtype=jnp.float32)
+    hN = hN * (1.0 + sc) + sh
+    out = P.dense(params["head"]["head"], hN, compute_dtype=jnp.float32)
+    return unpatchify(out, grid, cfg.patch_size, cfg.out_dim).astype(jnp.float32)
