@@ -1,0 +1,230 @@
+"""Wan2.1 image-to-video WorldForge pipeline (IRR + FLF + DSG).
+
+Behavioral reference: WanImageToVideoPipeline
+(/root/reference/wan_for_worldforge/utils/pipeline_wan_i2v_clean.py:388-753).
+The denoise loop reproduces the reference's exact state machine:
+
+  per outer step i (timestep t):
+    for r in range(resample_steps):              # IRR (:573-662)
+      r>0: model timestep = floor(sigma_i*1000); solver order/rollback
+      noise_pred = cond + g*(cond - uncond)      # WF CFG form (:611)
+      x0 = x - sigma_i * v; guided -> fuse_latents (decode/blend/encode
+           + FLF channel hand-back)
+      prev = UniP(x, m0, m1)
+      i < resample_round and r < last: x = (1-sigma_i)*x0_fused + sigma_i*eps
+    DSG (:664-708): if >=2 noise preds recorded, angular-extrapolate
+    (omega, or omega_resample past guide_steps), re-convert (unfused),
+    replace m0, redo the UniP update from the ORIGINAL x of this step.
+
+Stateful reference hacks (step_index/order rollback, :584-587,683-706) map
+to pure function calls with the same (i, order) arguments. DiT forwards and
+the VAE fuse round-trip are jit-compiled; solver updates are static-
+coefficient axpys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worldforge_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from worldforge_tpu.models.wan.dit import WanDiTConfig, wan_dit_forward
+from worldforge_tpu.models.wan.vae import (WanVAEConfig, vae_decode,
+                                           vae_encode)
+from worldforge_tpu.sampling.guidance import (GuidanceConfig, flf_select,
+                                              fuse_latents)
+from worldforge_tpu.sampling.unipc import (FlowUniPCSchedule, add_noise,
+                                           dsg_extrapolate, flow_pred_x0,
+                                           make_flow_unipc_schedule,
+                                           unip_update)
+from worldforge_tpu.sampling.channel_select import apply_channel_replacement
+
+
+@dataclasses.dataclass
+class WanI2VPipeline:
+    """Holds params/configs; generation is functional underneath."""
+
+    dit_params: dict
+    dit_cfg: WanDiTConfig
+    vae_params: dict
+    vae_cfg: WanVAEConfig
+    policy: Policy = DEFAULT_POLICY
+    vae_scale_t: int = 4
+    vae_scale_s: int = 8
+
+    # ------------------------------------------------------------ pieces
+
+    def _vae_decode_fn(self):
+        return jax.jit(lambda z: vae_decode(self.vae_params, self.vae_cfg, z))
+
+    def _vae_encode_fn(self):
+        return jax.jit(lambda v: vae_encode(self.vae_params, self.vae_cfg, v))
+
+    @functools.cached_property
+    def _dit_step(self):
+        cfg = self.dit_cfg
+
+        @jax.jit
+        def run(params, latents, condition, t, ctx, ctx_neg, clip_fea, gscale):
+            x = latents.astype(jnp.float32)
+            y = condition.astype(jnp.float32)
+            tb = jnp.broadcast_to(t, (latents.shape[0],))
+            pred = wan_dit_forward(params, cfg, x, tb, ctx,
+                                   clip_fea=clip_fea, y=y)
+            uncond = wan_dit_forward(params, cfg, x, tb, ctx_neg,
+                                     clip_fea=clip_fea, y=y)
+            # WF CFG form: pred + g*(pred - uncond) (:611)
+            return pred + gscale * (pred - uncond)
+
+        @jax.jit
+        def run_nocfg(params, latents, condition, t, ctx, clip_fea):
+            x = latents.astype(jnp.float32)
+            y = condition.astype(jnp.float32)
+            tb = jnp.broadcast_to(t, (latents.shape[0],))
+            return wan_dit_forward(params, cfg, x, tb, ctx,
+                                   clip_fea=clip_fea, y=y)
+
+        return run, run_nocfg
+
+    def prepare_latents(self, key, image, batch_size: int, height: int,
+                        width: int, num_frames: int
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Noise + [4ch temporal mask || first-frame cond latents]
+        (pipeline_wan_i2v_clean.py:301-362). image: [B,3,H,W] in [-1,1]."""
+        t_lat = (num_frames - 1) // self.vae_scale_t + 1
+        h_lat = height // self.vae_scale_s
+        w_lat = width // self.vae_scale_s
+        z = self.dit_cfg.out_dim
+        latents = jax.random.normal(
+            key, (batch_size, z, t_lat, h_lat, w_lat), jnp.float32)
+
+        video_cond = jnp.concatenate([
+            image[:, :, None],
+            jnp.zeros((batch_size, 3, num_frames - 1, height, width),
+                      image.dtype)], axis=2)
+        cond_lat = self._vae_encode_fn()(video_cond.astype(jnp.float32))
+
+        # temporal mask: frame 0 -> 1 repeated vae_scale_t times, rest 0,
+        # folded into 4 channels per latent frame (:353-360)
+        mask = np.zeros((batch_size, 1, num_frames, h_lat, w_lat), np.float32)
+        mask[:, :, 0] = 1.0
+        first = np.repeat(mask[:, :, 0:1], self.vae_scale_t, axis=2)
+        mask = np.concatenate([first, mask[:, :, 1:]], axis=2)
+        mask = mask.reshape(batch_size, t_lat, self.vae_scale_t, h_lat, w_lat)
+        mask = mask.transpose(0, 2, 1, 3, 4)  # [B, 4, T', h, w]
+        condition = jnp.concatenate([jnp.asarray(mask), cond_lat], axis=1)
+        return latents, condition
+
+    # ------------------------------------------------------------ generate
+
+    def generate(
+        self,
+        key,
+        image: jnp.ndarray,                    # [B,3,H,W] in [-1,1]
+        prompt_embeds: jnp.ndarray,            # [B, text_len, text_dim]
+        negative_prompt_embeds: Optional[jnp.ndarray],
+        image_embeds: jnp.ndarray,             # [B, 257, 1280]
+        *,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 49,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 4.0,
+        flow_shift: float = 5.0,
+        video_ref: Optional[jnp.ndarray] = None,   # [B,3,T,H,W] in [0,1]
+        mask: Optional[jnp.ndarray] = None,        # [B,1,T,H,W]
+        guidance: GuidanceConfig = GuidanceConfig(),
+        output_type: str = "np",
+        callback: Optional[Callable[[int, jnp.ndarray], None]] = None,
+    ):
+        if num_frames % self.vae_scale_t != 1:
+            num_frames = num_frames // self.vae_scale_t * self.vae_scale_t + 1
+        batch = image.shape[0]
+        do_cfg = guidance_scale > 1 and negative_prompt_embeds is not None
+
+        sched = make_flow_unipc_schedule(num_inference_steps, flow_shift)
+        key, k_lat = jax.random.split(key)
+        latents, condition = self.prepare_latents(
+            k_lat, image, batch, height, width, num_frames)
+
+        dec = self._vae_decode_fn()
+        enc = self._vae_encode_fn()
+        run_cfg, run_nocfg = self._dit_step
+
+        guided_on = guidance.guided and video_ref is not None and mask is not None
+
+        m0 = m1 = None  # solver history (converted x0 preds)
+        for i in range(sched.num_steps):
+            order = sched.order_for_step(i, min(i, 2))
+            t_main = jnp.float32(sched.timesteps[i])
+            t_res = jnp.float32(sched.resample_timesteps[i])
+
+            deriv_history: List[jnp.ndarray] = []
+            prev_sample = None
+            n_resample = guidance.resample_steps if i < guidance.resample_round else 1
+
+            for r in range(n_resample):
+                t_model = t_main if r == 0 else t_res
+                if do_cfg:
+                    v = run_cfg(self.dit_params, latents, condition, t_model,
+                                prompt_embeds, negative_prompt_embeds,
+                                image_embeds, guidance_scale)
+                    if r < 1:
+                        deriv_history.append(v)
+                else:
+                    v = run_nocfg(self.dit_params, latents, condition,
+                                  t_model, prompt_embeds, image_embeds)
+                if r > 0:
+                    deriv_history.append(v)
+
+                x0 = flow_pred_x0(sched, i, v, latents)
+                if guided_on and i < guidance.guide_steps:
+                    pre = x0  # unfused pred_x0 (FLF compares against this
+                    # and hands selected channels back, :1393-1412)
+                    x0 = fuse_latents(x0, video_ref, mask, dec, enc)
+                    if guidance.use_flf and r == 0:  # not while resampling
+                        sel = flf_select(pre, x0, i, guidance)
+                        if sel:
+                            x0 = apply_channel_replacement(x0, pre, sel)
+
+                # ring buffer semantics (:1481-1489): only r==0 shifts
+                if r == 0:
+                    m1 = m0
+                m0 = x0
+
+                prev_sample = unip_update(sched, i, order, latents, m0,
+                                          m1 if order >= 2 else None)
+
+                if i < guidance.resample_round and r < n_resample - 1:
+                    key, k_noise = jax.random.split(key)
+                    noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
+                    latents = add_noise(sched, i, x0, noise)
+
+            if len(deriv_history) > 1:
+                # DSG re-update uses the *current* latents — after IRR these
+                # are the last re-noised latents, matching the reference
+                # (loop :573-708: `latents` is only re-assigned by add_noise
+                # inside the inner loop before DSG runs)
+                omega = (guidance.omega if i < guidance.guide_steps
+                         else guidance.omega_resample)
+                better = dsg_extrapolate(deriv_history[-1], deriv_history[0],
+                                         omega)
+                m0 = flow_pred_x0(sched, i, better, latents)  # unfused (:683)
+                latents = unip_update(sched, i, order, latents, m0,
+                                      m1 if order >= 2 else None)
+            else:
+                latents = prev_sample
+
+            if callback is not None:
+                callback(i, latents)
+
+        video = dec(latents)
+        if output_type == "latent":
+            return latents
+        out = (np.asarray(video, np.float32) + 1.0) / 2.0
+        return np.clip(out, 0.0, 1.0)

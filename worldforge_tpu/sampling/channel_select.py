@@ -1,0 +1,119 @@
+"""FLF (Flow-guided Latent Fusion) channel selection.
+
+Behavioral reference: VideoMotionPCASelector
+(/root/reference/wan_for_worldforge/utils/scheduling_unipc_multistep_clean.py
+:30-607) and the LongCat variant VideoMotionChannelSelector
+(longcat_video/modules/scheduling_flow_match_euler_discrete.py:35-381).
+
+Per latent channel, motion (optical flow over frame pairs) is extracted for
+both the generated pred_x0 and the encoded reference; a similarity score
+combines M-EPE / Fl-all / M-AE:
+
+  similarity = 1 - (0.45*clip(EPE/10) + 0.45*clip(Fl/0.5) + 0.1*clip(AE/30))
+  (reference :580-603)
+
+and a step-dependent schedule picks the LOW-correlation channels — those are
+the ones handed back to the *generated* latents (fuse_latents :1410-1412):
+
+  Wan schedule (:412-434): step<2 -> none; <=5 -> none; <=10 -> worst 1;
+  else threshold mean - 0.625*std, min 2 / max 6.
+  LongCat schedule (:332-377): distill: <=3 worst-1 else max_replace(def 3);
+  standard: <=5 worst-1 else max_replace (def 1).
+
+TPU-first: flows for all channels batch through one jitted pyramidal-LK call
+(ops/flow.py); scores come back as one [C] vector; the (data-dependent,
+small) selection logic runs on host — it is O(16) scalars per guided step.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worldforge_tpu.ops.flow import video_channel_flows
+
+
+@jax.jit
+def _flow_similarity_scores(pred_flows: jnp.ndarray,
+                            ref_flows: jnp.ndarray) -> jnp.ndarray:
+    """similarity [C] from per-channel flows [B, C, T-1, 2, H, W]
+    (_compute_flow_metrics, reference :497-607)."""
+    diff = pred_flows - ref_flows
+    epe = jnp.sqrt(jnp.sum(diff ** 2, axis=3) + 1e-8)  # [B,C,T-1,H,W]
+
+    dot = jnp.sum(ref_flows * pred_flows, axis=3)
+    nr = jnp.sqrt(jnp.sum(ref_flows ** 2, axis=3) + 1e-8)
+    nc = jnp.sqrt(jnp.sum(pred_flows ** 2, axis=3) + 1e-8)
+    cos = jnp.clip(dot / (nr * nc + 1e-8), -1.0, 1.0)
+    ae = jnp.arccos(cos) * (180.0 / jnp.pi)
+
+    outlier = ((epe > 3.0) & (epe > nr * 0.05)).astype(jnp.float32)
+
+    axes = (0, 2, 3, 4)
+    m_epe = jnp.mean(epe, axis=axes)
+    m_ae = jnp.mean(ae, axis=axes)
+    fl_all = jnp.mean(outlier, axis=axes)
+
+    err = (0.45 * jnp.clip(m_epe / 10.0, 0.0, 1.0)
+           + 0.45 * jnp.clip(fl_all / 0.5, 0.0, 1.0)
+           + 0.1 * jnp.clip(m_ae / 30.0, 0.0, 1.0))
+    return jnp.clip(1.0 - err, 0.0, 1.0)
+
+
+def channel_similarities(pred_x0: jnp.ndarray,
+                         ref_latents: jnp.ndarray) -> np.ndarray:
+    """Per-channel flow-similarity scores [C] (host numpy)."""
+    pf = video_channel_flows(pred_x0)
+    rf = video_channel_flows(ref_latents)
+    return np.asarray(_flow_similarity_scores(pf, rf))
+
+
+def select_channels_wan(scores: np.ndarray, current_step: int) -> List[int]:
+    """Wan schedule (reference :412-434). Returns sorted channel indices to
+    hand back to the generated latents."""
+    if current_step < 2:
+        return []
+    order = np.argsort(scores)
+    if current_step <= 10:
+        max_replace = 0 if current_step <= 5 else 1
+        sel = order[:max_replace].tolist()
+    else:
+        threshold = scores.mean() - 0.625 * scores.std()
+        below = [i for i, s in enumerate(scores) if s < threshold]
+        if len(below) < 2:
+            sel = order[:2].tolist()
+        elif len(below) > 6:
+            below.sort(key=lambda i: scores[i])
+            sel = below[:6]
+        else:
+            sel = below
+    return sorted(int(i) for i in sel)
+
+
+def select_channels_longcat(scores: np.ndarray, current_step: int,
+                            distill: bool, max_replace: Optional[int] = None
+                            ) -> List[int]:
+    """LongCat schedule (longcat scheduler :332-377)."""
+    if current_step < 1:
+        return []
+    order = np.argsort(scores)
+    if distill:
+        n = 1 if current_step <= 3 else (max_replace if max_replace is not None else 3)
+    else:
+        n = 1 if current_step <= 5 else (max_replace if max_replace is not None else 1)
+    return sorted(int(i) for i in order[:n].tolist())
+
+
+def apply_channel_replacement(encoded_ref: jnp.ndarray, pred_x0: jnp.ndarray,
+                              channels: Sequence[int]) -> jnp.ndarray:
+    """Give the selected (low-correlation) channels of the fused/encoded
+    reference back to the generated latents (fuse_latents :1410-1412)."""
+    if not channels:
+        return encoded_ref
+    mask = np.zeros((encoded_ref.shape[1],), np.float32)
+    mask[list(channels)] = 1.0
+    m = jnp.asarray(mask)[None, :, None, None, None]
+    return encoded_ref * (1.0 - m) + pred_x0.astype(encoded_ref.dtype) * m
