@@ -1,0 +1,63 @@
+"""Checkpoint loading / pipeline assembly.
+
+Real checkpoints: converted from the reference's torch/safetensors weights
+(torch CPU is available in-image for reading; see convert_* helpers as they
+land). ``random_init=True`` assembles a reduced-size random-weight pipeline
+— the smoke-test/bench path for machines without the 14B weights (the one
+real v5e chip here cannot hold Wan-14B bf16 anyway).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+from worldforge_tpu.pipelines.wan_i2v import WanI2VPipeline
+
+
+def _hash_embed(text: str, shape, scale: float = 1.0) -> jnp.ndarray:
+    """Deterministic pseudo-embedding from text (random-init debug path)."""
+    seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:4], "little")
+    return scale * jax.random.normal(jax.random.key(seed), shape, jnp.float32)
+
+
+def load_wan_pipeline(models_dir: Optional[str], variant: str = "480p",
+                      random_init: bool = False
+                      ) -> Tuple[WanI2VPipeline, Callable, Callable]:
+    """Returns (pipeline, encode_text(str)->[1,L,D], encode_image(img)->
+    [1,257,1280])."""
+    if random_init or models_dir is None:
+        vae_cfg = WanVAEConfig(dim=32, z_dim=16, dim_mult=(1, 2, 2, 2),
+                               num_res_blocks=1)
+        dit_cfg = WanDiTConfig(model_type="i2v", in_dim=36, out_dim=16,
+                               dim=256, ffn_dim=512, num_heads=4,
+                               num_layers=4)
+        dit_params = init_wan_dit(jax.random.key(0), dit_cfg)
+        # non-zero head so random-init output isn't the trivial zero field
+        k = jax.random.key(99)
+        dit_params["head"]["head"]["w"] = 0.02 * jax.random.normal(
+            k, dit_params["head"]["head"]["w"].shape, jnp.float32).astype(
+            dit_params["head"]["head"]["w"].dtype)
+        vae_params = init_wan_vae(jax.random.key(1), vae_cfg)
+        pipe = WanI2VPipeline(dit_params=dit_params, dit_cfg=dit_cfg,
+                              vae_params=vae_params, vae_cfg=vae_cfg)
+
+        def encode_text(text: str) -> jnp.ndarray:
+            return _hash_embed(text, (1, dit_cfg.text_len, dit_cfg.text_dim))
+
+        def encode_image(img: np.ndarray) -> jnp.ndarray:
+            h = hashlib.sha256(np.ascontiguousarray(img).tobytes()).digest()
+            seed = int.from_bytes(h[:4], "little")
+            return jax.random.normal(jax.random.key(seed), (1, 257, 1280),
+                                     jnp.float32)
+
+        return pipe, encode_text, encode_image
+
+    from worldforge_tpu.io.convert_wan import load_converted_wan
+    return load_converted_wan(models_dir, variant)
