@@ -175,7 +175,7 @@ def _heads(x, h):
 
 
 def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
-                    attn_impl="auto"):
+                    attn_impl="auto", mesh=None):
     cdt = policy.compute_dtype
     xq = x.astype(cdt)
     q = P.rms_norm(p["norm_q"], P.dense(p["q"], xq), eps=cfg.eps)
@@ -184,18 +184,30 @@ def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
     h = cfg.num_heads
     q = apply_rope(_heads(q, h), cos, sin)
     k = apply_rope(_heads(k, h), cos, sin)
-    o = attention(q, k, _heads(v, h), impl=attn_impl)
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        from worldforge_tpu.parallel.ulysses import ulysses_attention
+        o = ulysses_attention(q, k, _heads(v, h), mesh=mesh, impl=attn_impl)
+    else:
+        o = attention(q, k, _heads(v, h), impl=attn_impl)
     o = o.reshape(x.shape[0], x.shape[1], cfg.dim)
     return P.dense(p["o"], o)
 
 
 def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
-                     policy: Policy, attn_impl="auto"):
+                     policy: Policy, attn_impl="auto", mesh=None):
     """context: [B, img_ctx_len + text_len, dim] (i2v) or [B, text_len, dim]."""
     cdt = policy.compute_dtype
     xq = x.astype(cdt)
     ctx = context.astype(cdt)
     h = cfg.num_heads
+
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        from worldforge_tpu.parallel.ulysses import (
+            sequence_local_cross_attention as xattn)
+        attn_fn = lambda q, k, v: xattn(q, k, v, mesh=mesh, impl=attn_impl)
+    else:
+        attn_fn = lambda q, k, v: attention(q, k, v, impl=attn_impl)
+
     q = _heads(P.rms_norm(p["norm_q"], P.dense(p["q"], xq), eps=cfg.eps), h)
     if img_ctx_len and cfg.model_type == "i2v":
         ctx_img, ctx_txt = ctx[:, :img_ctx_len], ctx[:, img_ctx_len:]
@@ -203,12 +215,12 @@ def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
         ctx_img, ctx_txt = None, ctx
     k = _heads(P.rms_norm(p["norm_k"], P.dense(p["k"], ctx_txt), eps=cfg.eps), h)
     v = _heads(P.dense(p["v"], ctx_txt), h)
-    o = attention(q, k, v, impl=attn_impl)
+    o = attn_fn(q, k, v)
     if ctx_img is not None:
         k_i = _heads(P.rms_norm(p["norm_k_img"], P.dense(p["k_img"], ctx_img),
                                 eps=cfg.eps), h)
         v_i = _heads(P.dense(p["v_img"], ctx_img), h)
-        o = o + attention(q, k_i, v_i, impl=attn_impl)
+        o = o + attn_fn(q, k_i, v_i)
     o = o.reshape(x.shape[0], x.shape[1], cfg.dim)
     return P.dense(p["o"], o)
 
@@ -216,7 +228,7 @@ def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
 def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
                           img_ctx_len: int = 0,
                           policy: Policy = DEFAULT_POLICY,
-                          attn_impl: str = "auto"):
+                          attn_impl: str = "auto", mesh=None):
     """One WanAttentionBlock. x: [B, L, dim] (fp32 residual stream),
     e0: [B, 6, dim] fp32, context: [B, Lc, dim]."""
     mod = (p["modulation"].astype(jnp.float32) + e0.astype(jnp.float32))
@@ -226,12 +238,12 @@ def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
     h1 = P.layer_norm({}, xf, eps=cfg.eps, out_dtype=jnp.float32)
     h1 = h1 * (1.0 + sc_sa) + sh_sa
     y = _self_attention(p["self_attn"], cfg, h1.astype(policy.compute_dtype),
-                        cos, sin, policy, attn_impl)
+                        cos, sin, policy, attn_impl, mesh)
     xf = xf + y.astype(jnp.float32) * g_sa
 
     h2 = P.layer_norm(p["norm3"], xf, eps=cfg.eps, out_dtype=policy.compute_dtype)
     y = _cross_attention(p["cross_attn"], cfg, h2, context, img_ctx_len,
-                         policy, attn_impl)
+                         policy, attn_impl, mesh)
     xf = xf + y.astype(jnp.float32)
 
     h3 = P.layer_norm({}, xf, eps=cfg.eps, out_dtype=jnp.float32)
@@ -270,7 +282,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
                     clip_fea=None, y=None,
                     policy: Policy = DEFAULT_POLICY,
                     attn_impl: str = "auto",
-                    remat: bool = False):
+                    remat: bool = False,
+                    mesh=None):
     """Full WanModel forward (model.py:493-582).
 
     x: [B, 16, F, H, W] noisy latents; y: [B, 20, F, H, W] i2v conditioning
@@ -289,6 +302,10 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
     tokens = patchify(x.astype(policy.compute_dtype), cfg.patch_size)
     h0 = P.dense(params["patch_embedding"], tokens,
                  compute_dtype=policy.compute_dtype)
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        h0 = jax.lax.with_sharding_constraint(
+            h0, NamedSharding(mesh, PS("dp", "sp", None)))
 
     # time embeddings (fp32 island, model.py:546-550)
     te = sinusoidal_embedding_1d(cfg.freq_dim, t)
@@ -318,7 +335,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
 
     def body(carry, layer):
         out = wan_dit_layer_forward(layer, cfg, carry, e0, ctx, cos, sin,
-                                    img_ctx_len, policy, attn_impl)
+                                    img_ctx_len, policy, attn_impl, mesh)
         return out, None
 
     if remat:
