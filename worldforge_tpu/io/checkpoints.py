@@ -61,3 +61,33 @@ def load_wan_pipeline(models_dir: Optional[str], variant: str = "480p",
 
     from worldforge_tpu.io.convert_wan import load_converted_wan
     return load_converted_wan(models_dir, variant)
+
+
+def load_longcat_pipeline(checkpoint_dir: Optional[str],
+                          random_init: bool = False,
+                          use_distill: bool = False):
+    """Returns (LongCatPipeline, encode_text(str) -> (embeds, mask))."""
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit)
+    from worldforge_tpu.pipelines.longcat import LongCatPipeline
+
+    if random_init or checkpoint_dir is None:
+        vae_cfg = WanVAEConfig(dim=32, z_dim=16, dim_mult=(1, 2, 2, 2),
+                               num_res_blocks=1)
+        cfg = LongCatDiTConfig(hidden_size=256, depth=4, num_heads=4,
+                               caption_channels=4096, adaln_tembed_dim=64)
+        params = init_longcat_dit(jax.random.key(0), cfg)
+        vae_params = init_wan_vae(jax.random.key(1), vae_cfg)
+        pipe = LongCatPipeline(dit_params=params, dit_cfg=cfg,
+                               vae_params=vae_params, vae_cfg=vae_cfg)
+
+        def encode_text(text: str, max_len: int = 512):
+            emb = _hash_embed(text, (1, max_len, cfg.caption_channels))
+            n = min(max(len(text) // 4, 1), max_len)
+            mask = jnp.zeros((1, max_len), jnp.int32).at[:, :n].set(1)
+            return emb, mask
+
+        return pipe, encode_text
+
+    from worldforge_tpu.io.convert_longcat import load_converted_longcat
+    return load_converted_longcat(checkpoint_dir, use_distill=use_distill)

@@ -1,0 +1,353 @@
+"""LongCat-Video 13.6B single-stream DiT, TPU-native.
+
+Behavioral reference: /root/reference/longcat_for_worldforge/longcat_video/
+modules/longcat_video_dit.py (+blocks.py, attention.py, rope_3d.py):
+
+  - hidden 4096, depth 48, heads 32, patch (1,2,2), caption 4096
+    (longcat_video_dit.py:130-151)
+  - per-frame timestep adaLN: t [B,T] -> TimestepEmbedder [B,T,512]; each
+    block's adaLN Linear(512 -> 6*4096) in fp32; shift/scale/gate applied
+    per frame over x viewed [B, T, HW, C] (blocks.py:128-137, dit:103-124)
+  - self-attn: fused qkv (bias), head-dim RMSNorm on q/k (fp32, eps 1e-6),
+    3D RoPE (same interleaved-pair convention as Wan, rope_3d.py:41-119);
+    cond/noise split: cond tokens attend only to cond, noise tokens attend
+    to all (attention.py:124-135)
+  - cross-attn: q_linear + fused kv_linear, head-dim RMSNorm q/k, varlen
+    text (here: per-batch kv_lens mask); with cond latents the cond tokens
+    receive ZERO cross-attn output (attention.py:255-276)
+  - FFN SwiGLU with hidden = 256*ceil(2*4*C/3/256) = 11008 (blocks.py:17-39)
+  - final layer: per-frame 2-way modulated LN + linear (blocks.py:140-163)
+  - runtime LoRA (lora_utils.py): modeled as weight merge/unmerge (additive
+    low-rank; mathematically identical for inference)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from worldforge_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from worldforge_tpu.core import params as P
+from worldforge_tpu.ops.attention import attention
+from worldforge_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class LongCatDiTConfig:
+    in_channels: int = 16
+    out_channels: int = 16
+    hidden_size: int = 4096
+    depth: int = 48
+    num_heads: int = 32
+    caption_channels: int = 4096
+    mlp_ratio: int = 4
+    adaln_tembed_dim: int = 512
+    frequency_embedding_size: int = 256
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def ffn_hidden(self) -> int:
+        h = int(2 * (self.hidden_size * self.mlp_ratio) / 3)
+        return 256 * ((h + 255) // 256)
+
+    @classmethod
+    def longcat_13b(cls) -> "LongCatDiTConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "LongCatDiTConfig":
+        return cls(hidden_size=64, depth=2, num_heads=2, caption_channels=32,
+                   adaln_tembed_dim=32, frequency_embedding_size=16)
+
+
+# ------------------------------------------------------------------ init
+
+
+def init_longcat_layer(key, cfg: LongCatDiTConfig, dtype=jnp.float32) -> dict:
+    ks = P.split_keys(key, 10)
+    c = cfg.hidden_size
+    hd = cfg.head_dim
+    return {
+        "adaln": P.dense_init(ks[0], cfg.adaln_tembed_dim, 6 * c,
+                              dtype=jnp.float32),
+        "qkv": P.dense_init(ks[1], c, 3 * c, dtype=dtype),
+        "q_norm": P.rms_norm_init(hd, dtype=jnp.float32),
+        "k_norm": P.rms_norm_init(hd, dtype=jnp.float32),
+        "attn_proj": P.dense_init(ks[2], c, c, dtype=dtype),
+        "pre_crs_norm": P.layer_norm_init(c, dtype=dtype),
+        "x_q": P.dense_init(ks[3], c, c, dtype=dtype),
+        "x_kv": P.dense_init(ks[4], c, 2 * c, dtype=dtype),
+        "x_q_norm": P.rms_norm_init(hd, dtype=jnp.float32),
+        "x_k_norm": P.rms_norm_init(hd, dtype=jnp.float32),
+        "x_proj": P.dense_init(ks[5], c, c, dtype=dtype),
+        "w1": P.dense_init(ks[6], c, cfg.ffn_hidden, bias=False, dtype=dtype),
+        "w3": P.dense_init(ks[7], c, cfg.ffn_hidden, bias=False, dtype=dtype),
+        "w2": P.dense_init(ks[8], cfg.ffn_hidden, c, bias=False, dtype=dtype),
+    }
+
+
+def init_longcat_dit(key, cfg: LongCatDiTConfig, dtype=jnp.bfloat16) -> dict:
+    ks = P.split_keys(key, cfg.depth + 8)
+    c = cfg.hidden_size
+    pin = cfg.in_channels * math.prod(cfg.patch_size)
+    layers = [init_longcat_layer(ks[i], cfg, dtype) for i in range(cfg.depth)]
+    blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "x_embedder": P.dense_init(ks[-1], pin, c, dtype=dtype),
+        "t_embedder": {
+            "fc1": P.dense_init(ks[-2], cfg.frequency_embedding_size,
+                                cfg.adaln_tembed_dim, dtype=jnp.float32),
+            "fc2": P.dense_init(ks[-3], cfg.adaln_tembed_dim,
+                                cfg.adaln_tembed_dim, dtype=jnp.float32),
+        },
+        "y_embedder": {
+            "fc1": P.dense_init(ks[-4], cfg.caption_channels, c, dtype=dtype),
+            "fc2": P.dense_init(ks[-5], c, c, dtype=dtype),
+        },
+        "blocks": blocks,
+        "final": {
+            "adaln": P.dense_init(ks[-6], cfg.adaln_tembed_dim, 2 * c,
+                                  dtype=jnp.float32),
+            "linear": P.dense_init(ks[-7], c,
+                                   math.prod(cfg.patch_size) * cfg.out_channels,
+                                   dtype=dtype),
+        },
+    }
+
+
+# ------------------------------------------------------------------ pieces
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """DiT sinusoidal embedding: exp(-log(P)*i/half) freqs, [cos | sin]
+    (blocks.py:181-198). t: [N] (fractional ok)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _heads_hd(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h)
+
+
+def _rms_hd(p, x, eps):
+    """Head-dim RMSNorm over [B, S, H, D] last axis (RMSNorm_FP32 on
+    head_dim, attention.py:41-43)."""
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return y * p["scale"].astype(jnp.float32)
+
+
+def _modulate_per_frame(x, shift, scale, T, eps):
+    """LN (no affine, fp32) then *(1+scale)+shift per frame.
+    x: [B, N, C]; shift/scale: [B, T, C] (blocks.py:128-137)."""
+    b, n, c = x.shape
+    xf = P.layer_norm({}, x.astype(jnp.float32), eps=eps,
+                      out_dtype=jnp.float32).reshape(b, T, n // T, c)
+    y = xf * (1.0 + scale[:, :, None]) + shift[:, :, None]
+    return y.reshape(b, n, c)
+
+
+def _self_attention_lc(p, cfg, x_m, cos, sin, T, num_cond_latents,
+                       policy, attn_impl, mesh=None):
+    b, n, c = x_m.shape
+    cdt = policy.compute_dtype
+    qkv = P.dense(p["qkv"], x_m.astype(cdt))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    h = cfg.num_heads
+    q = _rms_hd(p["q_norm"], _heads_hd(q, h), cfg.eps)
+    k = _rms_hd(p["k_norm"], _heads_hd(k, h), cfg.eps)
+    v = _heads_hd(v, h)
+    q = apply_rope(q, cos, sin, out_dtype=cdt)
+    k = apply_rope(k, cos, sin, out_dtype=cdt)
+
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        from worldforge_tpu.parallel.ulysses import ulysses_attention
+        attn = lambda q_, k_, v_: ulysses_attention(q_, k_, v_, mesh=mesh,
+                                                    impl=attn_impl)
+    else:
+        attn = lambda q_, k_, v_: attention(q_, k_, v_, impl=attn_impl)
+
+    if num_cond_latents:
+        nc = num_cond_latents * (n // T)
+        # cond tokens attend only to cond; noise tokens attend to all
+        # (attention.py:124-135)
+        o_cond = attn(q[:, :nc], k[:, :nc], v[:, :nc])
+        o_noise = attn(q[:, nc:], k, v)
+        o = jnp.concatenate([o_cond, o_noise], axis=1)
+    else:
+        o = attn(q, k, v)
+    return P.dense(p["attn_proj"], o.reshape(b, n, c).astype(cdt))
+
+
+def _cross_attention_lc(p, cfg, x, ctx, kv_lens, T, num_cond_latents,
+                        policy, attn_impl):
+    b, n, c = x.shape
+    cdt = policy.compute_dtype
+    h = cfg.num_heads
+
+    def run(xq):
+        q = _rms_hd(p["x_q_norm"],
+                    _heads_hd(P.dense(p["x_q"], xq.astype(cdt)), h),
+                    cfg.eps).astype(cdt)
+        kv = P.dense(p["x_kv"], ctx.astype(cdt))
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = _rms_hd(p["x_k_norm"], _heads_hd(k, h), cfg.eps).astype(cdt)
+        v = _heads_hd(v, h)
+        o = attention(q, k, v, kv_lens=kv_lens, impl=attn_impl)
+        return P.dense(p["x_proj"],
+                       o.reshape(xq.shape[0], xq.shape[1], c).astype(cdt))
+
+    if num_cond_latents:
+        nc = num_cond_latents * (n // T)
+        o_noise = run(x[:, nc:])
+        return jnp.concatenate(
+            [jnp.zeros((b, nc, c), o_noise.dtype), o_noise], axis=1)
+    return run(x)
+
+
+def longcat_layer_forward(p, cfg: LongCatDiTConfig, x, t_emb, ctx, kv_lens,
+                          cos, sin, T: int, num_cond_latents: int = 0,
+                          policy: Policy = DEFAULT_POLICY,
+                          attn_impl: str = "auto", mesh=None):
+    """x: [B, N, C] fp32 stream; t_emb: [B, T, adaln_dim] fp32;
+    ctx: [B, M, C]."""
+    b, n, c = x.shape
+    mod = P.dense(p["adaln"], jax.nn.silu(t_emb.astype(jnp.float32)),
+                  compute_dtype=jnp.float32)
+    sh_a, sc_a, g_a, sh_f, sc_f, g_f = jnp.split(mod, 6, axis=-1)  # [B,T,C]
+
+    xf = x.astype(jnp.float32)
+    x_m = _modulate_per_frame(xf, sh_a, sc_a, T, cfg.eps)
+    y = _self_attention_lc(p, cfg, x_m.astype(policy.compute_dtype), cos,
+                           sin, T, num_cond_latents, policy, attn_impl, mesh)
+    yf = y.astype(jnp.float32).reshape(b, T, n // T, c)
+    xf = xf + (g_a[:, :, None] * yf).reshape(b, n, c)
+
+    h2 = P.layer_norm(p["pre_crs_norm"], xf, eps=cfg.eps,
+                      out_dtype=policy.compute_dtype)
+    xf = xf + _cross_attention_lc(p, cfg, h2, ctx, kv_lens, T,
+                                  num_cond_latents, policy,
+                                  attn_impl).astype(jnp.float32)
+
+    x_m = _modulate_per_frame(xf, sh_f, sc_f, T, cfg.eps).astype(
+        policy.compute_dtype)
+    ff = P.dense(p["w2"], jax.nn.silu(P.dense(p["w1"], x_m))
+                 * P.dense(p["w3"], x_m))
+    ff = ff.astype(jnp.float32).reshape(b, T, n // T, c)
+    xf = xf + (g_f[:, :, None] * ff).reshape(b, n, c)
+    return xf
+
+
+# ------------------------------------------------------------------ model
+
+
+def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
+                        timestep, encoder_hidden_states,
+                        encoder_attention_mask=None,
+                        num_cond_latents: int = 0,
+                        policy: Policy = DEFAULT_POLICY,
+                        attn_impl: str = "auto", mesh=None,
+                        remat: bool = False):
+    """hidden_states: [B, C_in, T, H, W]; timestep: [B] or [B, T'] (per-frame,
+    the WF i2v path zeroes frame 0); encoder_hidden_states: [B, M, 4096];
+    encoder_attention_mask: [B, M] (1=valid). Returns [B, C_out, T, H, W]
+    fp32 (longcat_video_dit.py:280-370)."""
+    from worldforge_tpu.models.wan.dit import patchify, unpatchify
+
+    b, _, T, H, W = hidden_states.shape
+    pt, ph, pw = cfg.patch_size
+    nt, nh, nw = T // pt, H // ph, W // pw
+
+    if timestep.ndim == 1:
+        timestep = jnp.broadcast_to(timestep[:, None], (b, nt))
+
+    x = P.dense(params["x_embedder"],
+                patchify(hidden_states.astype(policy.compute_dtype),
+                         cfg.patch_size),
+                compute_dtype=policy.compute_dtype)
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PS("dp", "sp", None)))
+
+    te = timestep_embedding(timestep.reshape(-1),
+                            cfg.frequency_embedding_size)
+    te = P.dense(params["t_embedder"]["fc1"], te, compute_dtype=jnp.float32)
+    te = P.dense(params["t_embedder"]["fc2"], jax.nn.silu(te),
+                 compute_dtype=jnp.float32)
+    t_emb = te.reshape(b, nt, cfg.adaln_tembed_dim)
+
+    ctx = P.dense(params["y_embedder"]["fc2"], P.gelu_tanh(
+        P.dense(params["y_embedder"]["fc1"],
+                encoder_hidden_states.astype(policy.compute_dtype))))
+    kv_lens = (encoder_attention_mask.sum(axis=1).astype(jnp.int32)
+               if encoder_attention_mask is not None else None)
+
+    cos, sin = rope_cos_sin(nt, nh, nw, cfg.head_dim)
+
+    def body(carry, layer):
+        out = longcat_layer_forward(layer, cfg, carry, t_emb, ctx, kv_lens,
+                                    cos, sin, nt, num_cond_latents, policy,
+                                    attn_impl, mesh)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    xN, _ = jax.lax.scan(body, x.astype(jnp.float32), params["blocks"])
+
+    # final layer (blocks.py:140-163)
+    fmod = P.dense(params["final"]["adaln"],
+                   jax.nn.silu(t_emb.astype(jnp.float32)),
+                   compute_dtype=jnp.float32)
+    sh, sc = jnp.split(fmod, 2, axis=-1)
+    xN = _modulate_per_frame(xN, sh, sc, nt, cfg.eps)
+    out = P.dense(params["final"]["linear"], xN, compute_dtype=jnp.float32)
+    return unpatchify(out, (nt, nh, nw), cfg.patch_size,
+                      cfg.out_channels).astype(jnp.float32)
+
+
+# ------------------------------------------------------------------ LoRA
+
+
+def merge_lora(params: dict, lora: Dict[str, dict], scale: float = 1.0):
+    """Merge additive low-rank adapters into the weights: w += scale *
+    multiplier * (alpha/dim) * down @ up. ``lora`` maps a '/'-joined param
+    path to {down [in,r], up [r,out], alpha, multiplier}. Returns a new
+    params tree (reference toggles LoRA at runtime via forward patching,
+    longcat_video_dit.py:197-270; merging is the inference-equivalent)."""
+    import copy
+    out = jax.tree_util.tree_map(lambda x: x, params)
+
+    for path, adapter in lora.items():
+        keys = path.split("/")
+        node = out
+        for k in keys[:-1]:
+            node[k] = dict(node[k]) if isinstance(node[k], dict) else node[k]
+            node = node[k]
+        leaf = node[keys[-1]]
+        down, up = adapter["down"], adapter["up"]
+        alpha_scale = adapter.get("alpha", down.shape[1]) / down.shape[1]
+        delta = (down.astype(jnp.float32) @ up.astype(jnp.float32)
+                 * adapter.get("multiplier", 1.0) * alpha_scale * scale)
+        node[keys[-1]] = dict(leaf)
+        node[keys[-1]]["w"] = (leaf["w"].astype(jnp.float32)
+                               + delta).astype(leaf["w"].dtype)
+    return out
+
+
+def unmerge_lora(params: dict, lora: Dict[str, dict], scale: float = 1.0):
+    return merge_lora(params, lora, scale=-scale)

@@ -1,0 +1,247 @@
+"""LongCat-Video WorldForge pipeline: generate_i2v (+t2v) with IRR/FLF/DSG.
+
+Behavioral reference: LongCatVideoPipeline.generate_i2v
+(/root/reference/longcat_for_worldforge/longcat_video/pipeline_longcat_video.py
+:619-1006):
+
+  - first frame VAE-encoded into latent slot 0 (prepare_latents :215-286,
+    num_cond_latents=1); per-frame timesteps with t[:, 0] = 0 (:864-865)
+  - CFG batch-doubling + CFG-zero optimized scale (:875-885), then the
+    model output is NEGATED for the scheduler (:888)
+  - scheduler.step on latents[:, :, 1:]; guided fuse runs on the FULL
+    latents with a zeroed first-frame model output, then drops frame 0
+    (scheduler :860-889)
+  - IRR re-noise of pred_x0 at sigma_i (:923-939); DSG extrapolation with a
+    plain (unguided) Euler re-step (:946-986), gated on `guided`
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worldforge_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                               longcat_dit_forward)
+from worldforge_tpu.models.wan.vae import (WanVAEConfig, vae_decode,
+                                           vae_encode)
+from worldforge_tpu.sampling.channel_select import apply_channel_replacement
+from worldforge_tpu.sampling.flow_match import (FlowMatchSchedule,
+                                                cfg_zero_combine,
+                                                fm_add_noise, fm_euler_step,
+                                                fm_pred_x0,
+                                                make_flow_match_schedule)
+from worldforge_tpu.sampling.guidance import (GuidanceConfig, flf_select,
+                                              fuse_latents)
+from worldforge_tpu.sampling.unipc import dsg_extrapolate
+
+
+@dataclasses.dataclass
+class LongCatPipeline:
+    dit_params: dict
+    dit_cfg: LongCatDiTConfig
+    vae_params: dict
+    vae_cfg: WanVAEConfig
+    policy: Policy = DEFAULT_POLICY
+    vae_scale_t: int = 4
+    vae_scale_s: int = 8
+
+    def _vae_decode_fn(self):
+        return jax.jit(lambda z: vae_decode(self.vae_params, self.vae_cfg, z))
+
+    def _vae_encode_fn(self):
+        return jax.jit(lambda v: vae_encode(self.vae_params, self.vae_cfg, v))
+
+    @functools.cached_property
+    def _dit_fn(self):
+        cfg = self.dit_cfg
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def run(params, latents, t_per_frame, ctx, ctx_mask,
+                num_cond_latents):
+            return longcat_dit_forward(
+                params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
+                encoder_attention_mask=ctx_mask,
+                num_cond_latents=num_cond_latents)
+
+        return run
+
+    def generate_i2v(
+        self,
+        key,
+        image: jnp.ndarray,                    # [B,3,H,W] in [-1,1]
+        prompt_embeds: jnp.ndarray,            # [B, M, 4096]
+        prompt_mask: Optional[jnp.ndarray],    # [B, M]
+        negative_prompt_embeds: Optional[jnp.ndarray],
+        negative_prompt_mask: Optional[jnp.ndarray],
+        *,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 49,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 4.0,
+        use_distill: bool = False,
+        flow_shift: float = 1.0,
+        video_ref: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        guidance: GuidanceConfig = GuidanceConfig(flf_backend="longcat"),
+        output_type: str = "np",
+    ):
+        b = image.shape[0]
+        do_cfg = guidance_scale > 1 and negative_prompt_embeds is not None \
+            and not use_distill
+
+        sched = make_flow_match_schedule(num_inference_steps,
+                                         shift=flow_shift,
+                                         use_distill=use_distill)
+        t_lat = (num_frames - 1) // self.vae_scale_t + 1
+        h_lat, w_lat = height // self.vae_scale_s, width // self.vae_scale_s
+        z = self.dit_cfg.in_channels
+
+        key, k_noise = jax.random.split(key)
+        latents = jax.random.normal(k_noise, (b, z, t_lat, h_lat, w_lat),
+                                    jnp.float32)
+        enc = self._vae_encode_fn()
+        dec = self._vae_decode_fn()
+        cond_lat = enc(image[:, :, None].astype(jnp.float32))  # [B,z,1,h,w]
+        latents = latents.at[:, :, :1].set(cond_lat)
+
+        dit = self._dit_fn
+        guided_on = guidance.guided and video_ref is not None and mask is not None
+        gcfg = dataclasses.replace(guidance, flf_backend="longcat",
+                                   distill=use_distill)
+
+        for i in range(sched.num_steps):
+            t_val = float(sched.timesteps[i])
+            deriv_history: List[jnp.ndarray] = []
+            prev_noise = None
+            n_resample = (gcfg.resample_steps
+                          if (guided_on and i < gcfg.resample_round) else 1)
+
+            for r in range(n_resample):
+                tb = jnp.full((b, t_lat), t_val, jnp.float32)
+                tb = tb.at[:, 0].set(0.0)  # cond frame (:864-865)
+                v = dit(self.dit_params, latents, tb, prompt_embeds,
+                        prompt_mask, 1)
+                if do_cfg:
+                    vu = dit(self.dit_params, latents, tb,
+                             negative_prompt_embeds, negative_prompt_mask, 1)
+                    v = cfg_zero_combine(v, vu, guidance_scale)
+                v = -v  # scheduler compatibility negation (:888)
+                deriv_history.append(v)
+
+                v_noise = v[:, :, 1:]
+                x_noise = latents[:, :, 1:]
+                x0 = fm_pred_x0(sched, i, v_noise, x_noise)
+                if guided_on and i < gcfg.guide_steps and r == 0:
+                    # fuse on FULL latents with zeroed frame-0 output
+                    v_full = jnp.concatenate(
+                        [jnp.zeros_like(v[:, :, :1]), v_noise], axis=2)
+                    x0_full = fm_pred_x0(sched, i, v_full, latents)
+                    pre_full = x0_full
+                    x0_full = fuse_latents(x0_full, video_ref, mask, dec, enc)
+                    if gcfg.use_flf:
+                        sel = flf_select(pre_full, x0_full, i, gcfg)
+                        if sel:
+                            x0_full = apply_channel_replacement(
+                                x0_full, pre_full, sel)
+                    x0 = x0_full[:, :, 1:]
+
+                prev_noise = fm_euler_step(sched, i, x_noise, v_noise)
+
+                if i < gcfg.resample_round and r < n_resample - 1:
+                    key, k_r = jax.random.split(key)
+                    noise = jax.random.normal(k_r, x0.shape, x0.dtype)
+                    latents = latents.at[:, :, 1:].set(
+                        fm_add_noise(sched, i, x0, noise))
+
+            if guided_on and i < gcfg.resample_round and len(deriv_history) > 1:
+                omega = (gcfg.omega if i < gcfg.guide_steps
+                         else gcfg.omega_resample)
+                better = dsg_extrapolate(deriv_history[-1], deriv_history[0],
+                                         omega)
+                latents = latents.at[:, :, 1:].set(
+                    fm_euler_step(sched, i, latents[:, :, 1:],
+                                  better[:, :, 1:]))
+            else:
+                latents = latents.at[:, :, 1:].set(prev_noise)
+
+        video = dec(latents)
+        if output_type == "latent":
+            return latents
+        out = (np.asarray(video, np.float32) + 1.0) / 2.0
+        return np.clip(out, 0.0, 1.0)
+
+    def generate_refine(
+        self,
+        key,
+        stage1_video: np.ndarray,              # [T, H_lo, W_lo, 3] in [0,1]
+        prompt_embeds: jnp.ndarray,
+        prompt_mask: Optional[jnp.ndarray],
+        *,
+        height: int = 720,
+        width: int = 1280,
+        num_inference_steps: int = 50,
+        flow_shift: float = 1.0,
+        t_thresh: float = 0.5,
+        spatial_refine_only: bool = False,
+        bsa_latent_granularity: int = 4,
+        output_type: str = "np",
+    ):
+        """SDEdit 480p->720p upscale (generate_refine, pipeline :1271-1511):
+        bilinear spatial upscale (+trilinear 2x temporal unless
+        spatial_refine_only), VAE encode, mix with noise at t_thresh,
+        truncated Euler schedule from t_thresh, no CFG, noise frames padded
+        to the BSA latent granularity."""
+        t_in = stage1_video.shape[0]
+        new_t = t_in if spatial_refine_only else 2 * t_in
+
+        vid = jnp.asarray(stage1_video, jnp.float32).transpose(3, 0, 1, 2)[None]
+        up = jax.image.resize(vid, (1, 3, new_t, height, width), "trilinear")
+        up = up * 2.0 - 1.0
+
+        # pad noise frames to BSA granularity (:1411-1424, no cond frames
+        # in the WF upscale path)
+        num_noise_latents = -(-new_t // self.vae_scale_t)
+        num_noise_latents = (-(-num_noise_latents // bsa_latent_granularity)
+                             * bsa_latent_granularity)
+        frames_added = num_noise_latents * self.vae_scale_t - new_t
+        if frames_added:
+            pad_back = jnp.repeat(up[:, :, -1:], frames_added, axis=2)
+            up = jnp.concatenate([up, pad_back], axis=2)
+
+        enc = self._vae_encode_fn()
+        dec = self._vae_decode_fn()
+        latent_up = enc(up)
+        key, k_n = jax.random.split(key)
+        noise = jax.random.normal(k_n, latent_up.shape, latent_up.dtype)
+        latents = (1.0 - t_thresh) * latent_up + t_thresh * noise
+
+        # truncated schedule: prepend t_thresh, keep steps below it (:1391-95)
+        base = make_flow_match_schedule(num_inference_steps, shift=flow_shift)
+        keep = base.timesteps[base.timesteps < t_thresh * 1000.0]
+        timesteps = np.concatenate([[t_thresh * 1000.0], keep])
+        sigmas = np.concatenate([timesteps / 1000.0, [0.0]])
+        sched = FlowMatchSchedule(sigmas=sigmas, timesteps=timesteps,
+                                  num_steps=len(timesteps))
+
+        t_lat = latents.shape[2]
+        dit = self._dit_fn
+        for i in range(sched.num_steps):
+            tb = jnp.full((1, t_lat), float(sched.timesteps[i]), jnp.float32)
+            v = dit(self.dit_params, latents, tb, prompt_embeds,
+                    prompt_mask, 0)
+            v = -v
+            latents = fm_euler_step(sched, i, latents, v)
+
+        video = dec(latents)
+        if output_type == "latent":
+            return latents
+        out = (np.asarray(video, np.float32) + 1.0) / 2.0
+        out = np.clip(out, 0.0, 1.0)
+        return out[:, :, :new_t]  # drop granularity padding
