@@ -1,0 +1,277 @@
+"""Block-sparse attention (BSA) for 720p refine — Pallas TPU kernel.
+
+Behavioral reference: /root/reference/longcat_for_worldforge/longcat_video/
+block_sparse_attention/bsa_interface.py (Triton implementation):
+
+  - tokens regrouped into (4,4,8) t/h/w chunks of 128 tokens
+    (rearrange_THW_to_3d_block :600-610)
+  - q/k mean-pooled per chunk (:169-179); block scores q_cmp @ k_cmp^T
+  - selection: top-k by (1-sparsity) (:207-226), CDF threshold over
+    softmax(score/sqrt(d)) (:228-246), or max of both (:250-266)
+  - attention restricted to the selected kv chunks per q chunk
+
+TPU design: chunk size 128 == one MXU tile. Selection math runs as plain
+jitted JAX (scores are tiny: [B,H,Nq,Nk]); the sparse kernel gathers kv
+blocks through a scalar-prefetch index map — each grid step DMAs exactly one
+selected 128-token kv block, so compute and bandwidth scale with
+(1-sparsity). Per-(q-chunk) selected counts are honored with predication.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+CHUNK_Q = 128
+CHUNK_K = 128
+
+
+# ---------------------------------------------------------------- selection
+
+
+def mean_pool_chunks(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """[BH, S, D] -> [BH, S//chunk, D] chunk means (:169-179)."""
+    bh, s, d = x.shape
+    return x.reshape(bh, s // chunk, chunk, d).mean(axis=2)
+
+
+def select_blocks(q: jnp.ndarray, k: jnp.ndarray, *,
+                  sparsity: Optional[float] = 0.875,
+                  cdf_threshold: Optional[float] = None,
+                  chunk_q: int = CHUNK_Q, chunk_k: int = CHUNK_K,
+                  head_dim: Optional[int] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q, k: [BH, S, D] (chunk-rearranged). Returns (indices [BH, Nq, Kmax]
+    int32, counts [BH, Nq] int32). Selection semantics match
+    get_select_indices (:267-279)."""
+    d = head_dim or q.shape[-1]
+    qc = mean_pool_chunks(q.astype(jnp.float32), chunk_q)
+    kc = mean_pool_chunks(k.astype(jnp.float32), chunk_k)
+    score = jnp.einsum("bqd,bkd->bqk", qc, kc)  # raw scores (cal_score)
+    nk = score.shape[-1]
+
+    if sparsity is not None and cdf_threshold is None:
+        ksel = max(int((1 - sparsity) * nk), 1)
+        _, idx = jax.lax.top_k(score, ksel)
+        counts = jnp.full(idx.shape[:2], ksel, jnp.int32)
+        return idx.astype(jnp.int32), counts
+
+    weights = jax.nn.softmax(score * (1.0 / math.sqrt(d)), axis=-1)
+    order = jnp.argsort(-weights, axis=-1)
+    w_sorted = jnp.take_along_axis(weights, order, axis=-1)
+    cdf = jnp.cumsum(w_sorted, axis=-1)
+    # searchsorted(right): count = #entries with cdf <= threshold, + 1
+    counts = jnp.sum(cdf <= cdf_threshold, axis=-1).astype(jnp.int32) + 1
+    counts = jnp.minimum(counts, nk)
+    if sparsity is not None:
+        counts = jnp.maximum(counts, int((1 - sparsity) * nk))
+    return order.astype(jnp.int32), counts
+
+
+# ---------------------------------------------------------------- kernel
+
+
+# kv blocks gathered per grid step (8 -> 1024-wide MXU tiles; measured on
+# v5e at the 42k-token refine shape: G=1 293ms, G=4 129ms, G=8 98ms vs
+# 255ms dense flash -> 2.6x speedup at sparsity 0.875)
+BSA_GATHER = 8
+
+
+def _bsa_kernel(idx_ref, cnt_ref, q_ref, *kv_and_out, scale: float,
+                kmax: int):
+    """kv_and_out: G k-refs, G v-refs, o_ref, m/l/acc scratch. Each grid
+    step processes G gathered kv blocks as one (G*128)-wide tile; sub-block
+    j is masked out when its selection slot ki*G+j >= count."""
+    g = BSA_GATHER
+    k_refs = kv_and_out[:g]
+    v_refs = kv_and_out[g:2 * g]
+    o_ref = kv_and_out[2 * g]
+    m_ref, l_ref, acc_ref = kv_and_out[2 * g + 1:]
+
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    cnt = cnt_ref[bh, qi]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(ki * g < cnt)
+    def _body():
+        q = q_ref[0]
+        k = jnp.concatenate([r[0] for r in k_refs], axis=0)  # [G*128, D]
+        v = jnp.concatenate([r[0] for r in v_refs], axis=0)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // CHUNK_K
+        s = jnp.where(ki * g + col < cnt, s, _NEG_INF)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_ref[:] = jnp.broadcast_to(alpha * l_prev
+                                    + jnp.sum(p, axis=1, keepdims=True),
+                                    l_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[:, :1], 1e-20)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kmax", "interpret"))
+def _bsa_bhsd(q, k, v, indices_flat, counts, *, scale, kmax,
+              interpret=False):
+    """q: [BH, Sq, D]; k/v: [BH, Sk, D] (chunk-rearranged, multiples of 128);
+    indices_flat: [BH, Nq*Kmax] (flattened — SMEM pads the LAST axis to 128
+    lanes, so a flat layout wastes nothing); counts: [BH, Nq]."""
+    bh, sq, d = q.shape
+    nq = sq // CHUNK_Q
+    g = BSA_GATHER
+    # pad the (flattened) index table so kmax is a multiple of G; padded
+    # slots point at block 0 and are masked out via counts
+    kmax_p = -(-kmax // g) * g
+    if kmax_p != kmax:
+        idx3 = indices_flat.reshape(bh, nq, kmax)
+        idx3 = jnp.pad(idx3, ((0, 0), (0, 0), (0, kmax_p - kmax)))
+        indices_flat = idx3.reshape(bh, nq * kmax_p)
+        kmax = kmax_p
+
+    grid = (bh, nq, kmax // g)
+    kernel = functools.partial(_bsa_kernel, scale=scale, kmax=kmax)
+
+    def k_map(j):
+        return lambda b, qi, ki, idx, cnt: (b, idx[b, qi * kmax + ki * g + j],
+                                            0)
+
+    kv_spec = [pl.BlockSpec((1, CHUNK_K, d), k_map(j)) for j in range(g)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # indices, counts
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, CHUNK_Q, d),
+                             lambda b, qi, ki, idx, cnt: (b, qi, 0)),
+                *kv_spec, *kv_spec,
+            ],
+            out_specs=pl.BlockSpec((1, CHUNK_Q, d),
+                                   lambda b, qi, ki, idx, cnt: (b, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((CHUNK_Q, 128), jnp.float32),
+                pltpu.VMEM((CHUNK_Q, 128), jnp.float32),
+                pltpu.VMEM((CHUNK_Q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(indices_flat, counts, q, *([k] * g), *([v] * g))
+
+
+def _bsa_reference(q, k, v, indices, counts, scale):
+    """Dense-masked oracle: attention restricted to selected chunks."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    nq, nk = sq // CHUNK_Q, sk // CHUNK_K
+    kmax = indices.shape[-1]
+    sel = jnp.zeros((bh, nq, nk), bool)
+    ar = jnp.arange(kmax)[None, None, :]
+    valid = ar < counts[..., None]
+    sel = jnp.zeros((bh, nq, nk), jnp.int32)
+    onehot = jax.nn.one_hot(indices, nk, dtype=jnp.int32) * valid[..., None]
+    sel = onehot.sum(axis=2) > 0  # [BH, nq, nk]
+    mask = jnp.repeat(jnp.repeat(sel, CHUNK_Q, axis=1), CHUNK_K, axis=2)
+    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------------------------------------------------------- top level
+
+
+def rearrange_thw_to_blocks(x: jnp.ndarray, grid3d, chunk3d) -> jnp.ndarray:
+    """[B, S, H, D] tokens in (T,H,W) raster order -> chunk-contiguous order
+    (rearrange_THW_to_3d_block :600-604)."""
+    b, s, h, d = x.shape
+    T, Hh, Ww = grid3d
+    t, hh, ww = chunk3d
+    x = x.reshape(b, T // t, t, Hh // hh, hh, Ww // ww, ww, h, d)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7, 8)
+    return x.reshape(b, s, h, d)
+
+
+def rearrange_blocks_to_thw(x: jnp.ndarray, grid3d, chunk3d) -> jnp.ndarray:
+    b, s, h, d = x.shape
+    T, Hh, Ww = grid3d
+    t, hh, ww = chunk3d
+    x = x.reshape(b, T // t, Hh // hh, Ww // ww, t, hh, ww, h, d)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7, 8)
+    return x.reshape(b, s, h, d)
+
+
+def bsa_attention_3d(q, k, v, latent_shape_q, latent_shape_k, *,
+                     sparsity: Optional[float] = 0.875,
+                     cdf_threshold: Optional[float] = None,
+                     chunk_3d_shape_q=(4, 4, 8), chunk_3d_shape_k=(4, 4, 8),
+                     impl: str = "auto") -> jnp.ndarray:
+    """Block-sparse 3D attention over [B, S, H, D] (flash_attn_bsa_3d
+    :612-659). latent shapes are (T', H', W') token grids."""
+    b, sq, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+
+    qb = rearrange_thw_to_blocks(q, latent_shape_q, chunk_3d_shape_q)
+    kb = rearrange_thw_to_blocks(k, latent_shape_k, chunk_3d_shape_k)
+    vb = rearrange_thw_to_blocks(v, latent_shape_k, chunk_3d_shape_k)
+
+    def flat(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf = flat(qb), flat(kb), flat(vb)
+    indices, counts = select_blocks(qf, kf, sparsity=sparsity,
+                                    cdf_threshold=cdf_threshold,
+                                    head_dim=d)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if impl in ("pallas", "pallas_interpret"):
+        interp = impl == "pallas_interpret"
+        # the scalar-prefetch index table lives in SMEM (~1 MB): chunk the
+        # batch*heads axis so each pallas_call's table fits
+        bh_total, nq_, kmax = indices.shape
+        idx_flat = indices.reshape(bh_total, nq_ * kmax)
+        per_bh_ints = nq_ * kmax + nq_
+        group = max(1, min(bh_total, 150_000 // max(per_bh_ints, 1) or 1))
+        while bh_total % group != 0:
+            group -= 1
+        outs = []
+        for s0 in range(0, bh_total, group):
+            sl = slice(s0, s0 + group)
+            outs.append(_bsa_bhsd(qf[sl], kf[sl], vf[sl], idx_flat[sl],
+                                  counts[sl], scale=scale, kmax=kmax,
+                                  interpret=interp))
+        of = jnp.concatenate(outs, axis=0)
+    else:
+        of = _bsa_reference(qf, kf, vf, indices, counts, scale)
+    ob = of.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return rearrange_blocks_to_thw(ob, latent_shape_q, chunk_3d_shape_q)
