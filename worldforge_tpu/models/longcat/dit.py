@@ -162,7 +162,8 @@ def _modulate_per_frame(x, shift, scale, T, eps):
 
 
 def _self_attention_lc(p, cfg, x_m, cos, sin, T, num_cond_latents,
-                       policy, attn_impl, mesh=None):
+                       policy, attn_impl, mesh=None, grid3d=None,
+                       bsa_params=None):
     b, n, c = x_m.shape
     cdt = policy.compute_dtype
     qkv = P.dense(p["qkv"], x_m.astype(cdt))
@@ -174,7 +175,17 @@ def _self_attention_lc(p, cfg, x_m, cos, sin, T, num_cond_latents,
     q = apply_rope(q, cos, sin, out_dtype=cdt)
     k = apply_rope(k, cos, sin, out_dtype=cdt)
 
-    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+    if bsa_params is not None and grid3d is not None and grid3d[0] > 1:
+        # block-sparse path (720p refine, attention.py:58-66)
+        from worldforge_tpu.ops.bsa import bsa_attention_3d
+
+        def attn(q_, k_, v_):
+            tq = q_.shape[1] // (grid3d[1] * grid3d[2])
+            tk = k_.shape[1] // (grid3d[1] * grid3d[2])
+            return bsa_attention_3d(
+                q_, k_, v_, (tq, grid3d[1], grid3d[2]),
+                (tk, grid3d[1], grid3d[2]), **bsa_params)
+    elif mesh is not None and mesh.shape.get("sp", 1) > 1:
         from worldforge_tpu.parallel.ulysses import ulysses_attention
         attn = lambda q_, k_, v_: ulysses_attention(q_, k_, v_, mesh=mesh,
                                                     impl=attn_impl)
@@ -222,7 +233,8 @@ def _cross_attention_lc(p, cfg, x, ctx, kv_lens, T, num_cond_latents,
 def longcat_layer_forward(p, cfg: LongCatDiTConfig, x, t_emb, ctx, kv_lens,
                           cos, sin, T: int, num_cond_latents: int = 0,
                           policy: Policy = DEFAULT_POLICY,
-                          attn_impl: str = "auto", mesh=None):
+                          attn_impl: str = "auto", mesh=None, grid3d=None,
+                          bsa_params=None):
     """x: [B, N, C] fp32 stream; t_emb: [B, T, adaln_dim] fp32;
     ctx: [B, M, C]."""
     b, n, c = x.shape
@@ -233,7 +245,8 @@ def longcat_layer_forward(p, cfg: LongCatDiTConfig, x, t_emb, ctx, kv_lens,
     xf = x.astype(jnp.float32)
     x_m = _modulate_per_frame(xf, sh_a, sc_a, T, cfg.eps)
     y = _self_attention_lc(p, cfg, x_m.astype(policy.compute_dtype), cos,
-                           sin, T, num_cond_latents, policy, attn_impl, mesh)
+                           sin, T, num_cond_latents, policy, attn_impl,
+                           mesh, grid3d, bsa_params)
     yf = y.astype(jnp.float32).reshape(b, T, n // T, c)
     xf = xf + (g_a[:, :, None] * yf).reshape(b, n, c)
 
@@ -261,6 +274,7 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
                         num_cond_latents: int = 0,
                         policy: Policy = DEFAULT_POLICY,
                         attn_impl: str = "auto", mesh=None,
+                        bsa_params=None,
                         remat: bool = False):
     """hidden_states: [B, C_in, T, H, W]; timestep: [B] or [B, T'] (per-frame,
     the WF i2v path zeroes frame 0); encoder_hidden_states: [B, M, 4096];
@@ -302,7 +316,8 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
     def body(carry, layer):
         out = longcat_layer_forward(layer, cfg, carry, t_emb, ctx, kv_lens,
                                     cos, sin, nt, num_cond_latents, policy,
-                                    attn_impl, mesh)
+                                    attn_impl, mesh, (nt, nh, nw),
+                                    bsa_params)
         return out, None
 
     if remat:

@@ -71,6 +71,21 @@ class LongCatPipeline:
 
         return run
 
+    @functools.cached_property
+    def _dit_fn_bsa(self):
+        cfg = self.dit_cfg
+
+        @functools.partial(jax.jit, static_argnums=(5, 6))
+        def run(params, latents, t_per_frame, ctx, ctx_mask,
+                num_cond_latents, sparsity):
+            return longcat_dit_forward(
+                params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
+                encoder_attention_mask=ctx_mask,
+                num_cond_latents=num_cond_latents,
+                bsa_params={"sparsity": sparsity})
+
+        return run
+
     def generate_i2v(
         self,
         key,
@@ -191,6 +206,8 @@ class LongCatPipeline:
         t_thresh: float = 0.5,
         spatial_refine_only: bool = False,
         bsa_latent_granularity: int = 4,
+        use_bsa: bool = True,
+        bsa_sparsity: float = 0.875,
         output_type: str = "np",
     ):
         """SDEdit 480p->720p upscale (generate_refine, pipeline :1271-1511):
@@ -231,11 +248,18 @@ class LongCatPipeline:
                                   num_steps=len(timesteps))
 
         t_lat = latents.shape[2]
-        dit = self._dit_fn
+        # BSA requires the token grid to factor into (4,4,8) chunks
+        hw_ok = (latents.shape[3] // 2) % 4 == 0 and \
+                (latents.shape[4] // 2) % 8 == 0 and t_lat % 4 == 0
         for i in range(sched.num_steps):
             tb = jnp.full((1, t_lat), float(sched.timesteps[i]), jnp.float32)
-            v = dit(self.dit_params, latents, tb, prompt_embeds,
-                    prompt_mask, 0)
+            if use_bsa and hw_ok:
+                v = self._dit_fn_bsa(self.dit_params, latents, tb,
+                                     prompt_embeds, prompt_mask, 0,
+                                     bsa_sparsity)
+            else:
+                v = self._dit_fn(self.dit_params, latents, tb, prompt_embeds,
+                                 prompt_mask, 0)
             v = -v
             latents = fm_euler_step(sched, i, latents, v)
 
