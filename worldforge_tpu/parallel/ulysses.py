@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from worldforge_tpu.core.mesh import AXIS_DP, AXIS_SP
 from worldforge_tpu.ops.attention import attention
@@ -56,7 +56,7 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         return a2a_out(o)
 
     return shard_map(inner, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+                     out_specs=spec, check_vma=False)(q, k, v)
 
 
 def sequence_local_cross_attention(q: jnp.ndarray, k: jnp.ndarray,
@@ -77,4 +77,4 @@ def sequence_local_cross_attention(q: jnp.ndarray, k: jnp.ndarray,
         return attention(ql, kl, vl, impl=impl)
 
     return shard_map(inner, mesh=mesh, in_specs=(qspec, kvspec, kvspec),
-                     out_specs=qspec, check_rep=False)(q, k, v)
+                     out_specs=qspec, check_vma=False)(q, k, v)
