@@ -1,0 +1,134 @@
+"""VGGT (facebook/VGGT-1B) checkpoint conversion."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worldforge_tpu.io.torch_load import (conv_to_hwio, deconv_to_hwio,
+                                          linear_w, load_state_dict)
+from worldforge_tpu.models.vggt.model import VGGTConfig
+
+
+def _dense(sd, name, dtype, bias=True):
+    p = {"w": jnp.asarray(linear_w(sd, f"{name}.weight"), dtype)}
+    if bias and f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+    return p
+
+
+def _ln(sd, name, dtype):
+    return {"scale": jnp.asarray(sd[f"{name}.weight"], dtype),
+            "bias": jnp.asarray(sd[f"{name}.bias"], dtype)}
+
+
+def _vit_block(sd, prefix, dtype, qk_norm=False):
+    p = {
+        "norm1": _ln(sd, f"{prefix}.norm1", dtype),
+        "qkv": _dense(sd, f"{prefix}.attn.qkv", dtype),
+        "proj": _dense(sd, f"{prefix}.attn.proj", dtype),
+        "ls1": {"gamma": jnp.asarray(sd[f"{prefix}.ls1.gamma"], dtype)},
+        "norm2": _ln(sd, f"{prefix}.norm2", dtype),
+        "fc1": _dense(sd, f"{prefix}.mlp.fc1", dtype),
+        "fc2": _dense(sd, f"{prefix}.mlp.fc2", dtype),
+        "ls2": {"gamma": jnp.asarray(sd[f"{prefix}.ls2.gamma"], dtype)},
+    }
+    if qk_norm:
+        p["q_norm"] = _ln(sd, f"{prefix}.attn.q_norm", dtype)
+        p["k_norm"] = _ln(sd, f"{prefix}.attn.k_norm", dtype)
+    return p
+
+
+def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
+                 dtype=jnp.float32) -> dict:
+    agg = "aggregator"
+    pe = f"{agg}.patch_embed"
+    # DINOv2 patch conv [out, 3, 14, 14] -> dense [(ph pw c), out]
+    pw = sd[f"{pe}.patch_embed.proj.weight"]
+    pw_d = np.transpose(pw, (2, 3, 1, 0)).reshape(-1, pw.shape[0])
+    backbone = {
+        "patch": {"w": jnp.asarray(pw_d, dtype),
+                  "b": jnp.asarray(sd[f"{pe}.patch_embed.proj.bias"], dtype)},
+        "cls": jnp.asarray(sd[f"{pe}.cls_token"], dtype),
+        "registers": jnp.asarray(sd[f"{pe}.register_tokens"], dtype),
+        "pos": jnp.asarray(sd[f"{pe}.pos_embed"], dtype),
+        "blocks": [_vit_block(sd, f"{pe}.blocks.{i}", dtype)
+                   for i in range(cfg.backbone.depth)],
+        "norm": _ln(sd, f"{pe}.norm", dtype),
+    }
+    aggregator = {
+        "backbone": backbone,
+        "camera_token": jnp.asarray(sd[f"{agg}.camera_token"], dtype),
+        "register_token": jnp.asarray(sd[f"{agg}.register_token"], dtype),
+        "frame_blocks": [_vit_block(sd, f"{agg}.frame_blocks.{i}", dtype,
+                                    qk_norm=True)
+                         for i in range(cfg.depth)],
+        "global_blocks": [_vit_block(sd, f"{agg}.global_blocks.{i}", dtype,
+                                     qk_norm=True)
+                          for i in range(cfg.depth)],
+    }
+
+    ch = "camera_head"
+    camera = {
+        "trunk": [_vit_block(sd, f"{ch}.trunk.{i}", dtype)
+                  for i in range(4)],
+        "token_norm": _ln(sd, f"{ch}.token_norm", dtype),
+        "trunk_norm": _ln(sd, f"{ch}.trunk_norm", dtype),
+        "empty_pose": jnp.asarray(sd[f"{ch}.empty_pose_tokens"], dtype),
+        "embed_pose": _dense(sd, f"{ch}.embed_pose", dtype),
+        "mod": _dense(sd, f"{ch}.poseLN_modulation.1", dtype),
+        "branch_fc1": _dense(sd, f"{ch}.pose_branch.fc1", dtype),
+        "branch_fc2": _dense(sd, f"{ch}.pose_branch.fc2", dtype),
+    }
+
+    dh = "depth_head"
+
+    def cv(name, bias=True):
+        p = {"w": jnp.asarray(conv_to_hwio(sd[f"{name}.weight"]), dtype)}
+        if bias and f"{name}.bias" in sd:
+            p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+        return p
+
+    def dcv(name):
+        return {"w": jnp.asarray(deconv_to_hwio(sd[f"{name}.weight"]), dtype),
+                "b": jnp.asarray(sd[f"{name}.bias"], dtype)}
+
+    depth = {
+        "norm": _ln(sd, f"{dh}.norm", dtype),
+        "projects": [cv(f"{dh}.projects.{i}") for i in range(4)],
+        "resize0": dcv(f"{dh}.resize_layers.0"),
+        "resize1": dcv(f"{dh}.resize_layers.1"),
+        "resize3": cv(f"{dh}.resize_layers.3"),
+        "layer_rn": [cv(f"{dh}.scratch.layer{i}_rn", bias=False)
+                     for i in (1, 2, 3, 4)],
+        "out_conv1": cv(f"{dh}.scratch.output_conv1"),
+        "out_conv2a": cv(f"{dh}.scratch.output_conv2.0"),
+        "out_conv2b": cv(f"{dh}.scratch.output_conv2.2"),
+    }
+    for i in range(1, 5):
+        rn = f"{dh}.scratch.refinenet{i}"
+        rcu = {}
+        if f"{rn}.resConfUnit1.conv1.weight" in sd:
+            rcu["rcu1_conv1"] = cv(f"{rn}.resConfUnit1.conv1")
+            rcu["rcu1_conv2"] = cv(f"{rn}.resConfUnit1.conv2")
+        else:  # refinenet4 has no residual unit 1
+            import jax.numpy as _j
+            f = depth["layer_rn"][0]["w"].shape[-1]
+            rcu["rcu1_conv1"] = {"w": jnp.zeros((3, 3, f, f), dtype),
+                                 "b": jnp.zeros((f,), dtype)}
+            rcu["rcu1_conv2"] = {"w": jnp.zeros((3, 3, f, f), dtype),
+                                 "b": jnp.zeros((f,), dtype)}
+        rcu["rcu2_conv1"] = cv(f"{rn}.resConfUnit2.conv1")
+        rcu["rcu2_conv2"] = cv(f"{rn}.resConfUnit2.conv2")
+        rcu["out"] = cv(f"{rn}.out_conv")
+        depth[f"refine{i}"] = rcu
+
+    return {"aggregator": aggregator, "camera_head": camera,
+            "depth_head": depth}
+
+
+def load_converted_vggt(path: str, cfg: VGGTConfig) -> dict:
+    return convert_vggt(load_state_dict(path), cfg)

@@ -53,14 +53,16 @@ def rope_3d_angles(f: int, h: int, w: int, head_dim: int,
         np.broadcast_to(ang_h[None, :, None, :], (f, h, w, dim_h // 2)),
         np.broadcast_to(ang_w[None, None, :, :], (f, h, w, dim_w // 2)),
     ], axis=-1).reshape(f * h * w, head_dim // 2)
-    return out.astype(np.float32)
+    return out  # float64 (cos/sin taken in fp64, then cast — matches the
+    # reference's float64 rope_params, model.py:31-39)
 
 
 def rope_cos_sin(f: int, h: int, w: int, head_dim: int,
                  theta: float = 10000.0, h_offset: int = 0,
                  w_offset: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     ang = rope_3d_angles(f, h, w, head_dim, theta, h_offset, w_offset)
-    return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+    return (jnp.asarray(np.cos(ang).astype(np.float32)),
+            jnp.asarray(np.sin(ang).astype(np.float32)))
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
