@@ -133,6 +133,28 @@ def conv(p: dict, x: jnp.ndarray, *, stride=1, padding="SAME",
     return y
 
 
+def group_norm_init(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def group_norm(p: dict, x: jnp.ndarray, *, groups: int = 32,
+               eps: float = 1e-6) -> jnp.ndarray:
+    """GroupNorm over channels-last input [..., C] (stats over spatial dims
+    and the channel group, fp32)."""
+    odtype = x.dtype
+    c = x.shape[-1]
+    g = min(groups, c)
+    while c % g != 0:
+        g -= 1
+    xf = x.astype(jnp.float32).reshape(x.shape[0], -1, g, c // g)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(x.shape)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(odtype)
+
+
 # ---------------------------------------------------------------- misc
 
 

@@ -125,3 +125,20 @@ def clip_vision_hidden(params, cfg: CLIPVisionConfig, pixels: jnp.ndarray,
         # input of the last block == hidden_states[-2]
         return inputs[-1]
     return x
+
+
+def init_clip_projection(key, cfg: CLIPVisionConfig,
+                         projection_dim: int = 1024,
+                         dtype=jnp.float32) -> dict:
+    return {"proj": P.dense_init(key, cfg.width, projection_dim, bias=False,
+                                 dtype=dtype)}
+
+
+def clip_vision_image_embeds(params, proj_params, cfg: CLIPVisionConfig,
+                             pixels: jnp.ndarray) -> jnp.ndarray:
+    """CLIPVisionModelWithProjection image_embeds: post-LN CLS token through
+    the visual projection (SVD/DepthCrafter conditioning,
+    depth_crafter_ppl.py:20-48). [B,3,S,S] -> [B, projection_dim]."""
+    h = clip_vision_hidden(params, cfg, pixels, penultimate=False)
+    cls_tok = P.layer_norm(params["ln_post"], h[:, 0], eps=cfg.eps)
+    return P.dense(proj_params["proj"], cls_tok)
