@@ -335,6 +335,168 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
                       cfg.out_channels).astype(jnp.float32)
 
 
+# ----------------------------------------------------------- KV cache
+
+
+def longcat_dit_cache_cond(params, cfg: LongCatDiTConfig, cond_latents,
+                           policy: Policy = DEFAULT_POLICY):
+    """Run the DiT over CLEAN conditioning latents only (timestep 0, cross-
+    attn skipped) and return per-layer (k, v) caches of the cond tokens —
+    pre-RoPE, post-QK-norm, matching Attention.forward(return_kv=True)
+    (attention.py:120-122; pipeline _cache_clean_latents :336-348).
+
+    Returns (kv_cache [L, 2, B, Sc, H, D]) stacked for scan."""
+    from worldforge_tpu.models.wan.dit import patchify
+
+    b, _, T, H, W = cond_latents.shape
+    pt, ph, pw = cfg.patch_size
+    nt, nh, nw = T // pt, H // ph, W // pw
+
+    x = P.dense(params["x_embedder"],
+                patchify(cond_latents.astype(policy.compute_dtype),
+                         cfg.patch_size),
+                compute_dtype=policy.compute_dtype)
+
+    te = timestep_embedding(jnp.zeros((b * nt,), jnp.float32),
+                            cfg.frequency_embedding_size)
+    te = P.dense(params["t_embedder"]["fc1"], te, compute_dtype=jnp.float32)
+    te = P.dense(params["t_embedder"]["fc2"], jax.nn.silu(te),
+                 compute_dtype=jnp.float32)
+    t_emb = te.reshape(b, nt, cfg.adaln_tembed_dim)
+
+    cos, sin = rope_cos_sin(nt, nh, nw, cfg.head_dim)
+    h = cfg.num_heads
+    cdt = policy.compute_dtype
+
+    def body(carry, layer):
+        xf = carry
+        mod = P.dense(layer["adaln"], jax.nn.silu(t_emb),
+                      compute_dtype=jnp.float32)
+        sh_a, sc_a, g_a, sh_f, sc_f, g_f = jnp.split(mod, 6, axis=-1)
+        x_m = _modulate_per_frame(xf, sh_a, sc_a, nt, cfg.eps).astype(cdt)
+        qkv = P.dense(layer["qkv"], x_m)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _rms_hd(layer["q_norm"], _heads_hd(q, h), cfg.eps)
+        k = _rms_hd(layer["k_norm"], _heads_hd(k, h), cfg.eps)
+        v_h = _heads_hd(v, h)
+        kv = jnp.stack([k.astype(jnp.float32), v_h.astype(jnp.float32)])
+        # continue the forward so later layers cache the right activations
+        qr = apply_rope(q, cos, sin, out_dtype=cdt)
+        kr = apply_rope(k, cos, sin, out_dtype=cdt)
+        o = attention(qr, kr, v_h.astype(cdt))
+        o = P.dense(layer["attn_proj"],
+                    o.reshape(xf.shape[0], xf.shape[1], cfg.hidden_size)
+                    .astype(cdt))
+        of = o.astype(jnp.float32).reshape(xf.shape[0], nt, -1,
+                                           cfg.hidden_size)
+        xf = xf + (g_a[:, :, None] * of).reshape(xf.shape)
+        # skip_crs_attn=True: no cross attention during caching (:336-348)
+        x_m2 = _modulate_per_frame(xf, sh_f, sc_f, nt, cfg.eps).astype(cdt)
+        ff = P.dense(layer["w2"], jax.nn.silu(P.dense(layer["w1"], x_m2))
+                     * P.dense(layer["w3"], x_m2))
+        ff = ff.astype(jnp.float32).reshape(xf.shape[0], nt, -1,
+                                            cfg.hidden_size)
+        xf = xf + (g_f[:, :, None] * ff).reshape(xf.shape)
+        return xf, kv
+
+    _, kv_cache = jax.lax.scan(body, x.astype(jnp.float32),
+                               params["blocks"])
+    return kv_cache  # [L, 2, B, Sc, H, D]
+
+
+def longcat_dit_forward_with_cache(params, cfg: LongCatDiTConfig,
+                                   hidden_states, timestep,
+                                   encoder_hidden_states, kv_cache,
+                                   cond_grid, encoder_attention_mask=None,
+                                   policy: Policy = DEFAULT_POLICY,
+                                   attn_impl: str = "auto"):
+    """Denoise NOISE latents with cond-token KV caches
+    (Attention.forward_with_kv_cache, attention.py:149-181: RoPE re-applied
+    over the concatenated (T_cond + T) grid; cross-attn on noise tokens
+    only but without zero-fill since cond tokens are absent here).
+
+    hidden_states: [B, C, T, H, W] (noise part only); cond_grid: (Tc,) cond
+    latent frames; kv_cache: [L, 2, B, Sc, H, D]."""
+    from worldforge_tpu.models.wan.dit import patchify, unpatchify
+
+    b, _, T, H, W = hidden_states.shape
+    pt, ph, pw = cfg.patch_size
+    nt, nh, nw = T // pt, H // ph, W // pw
+    tc = cond_grid[0]
+    n_cond = tc * nh * nw
+
+    if timestep.ndim == 1:
+        timestep = jnp.broadcast_to(timestep[:, None], (b, nt))
+
+    x = P.dense(params["x_embedder"],
+                patchify(hidden_states.astype(policy.compute_dtype),
+                         cfg.patch_size),
+                compute_dtype=policy.compute_dtype)
+    te = timestep_embedding(timestep.reshape(-1),
+                            cfg.frequency_embedding_size)
+    te = P.dense(params["t_embedder"]["fc1"], te, compute_dtype=jnp.float32)
+    te = P.dense(params["t_embedder"]["fc2"], jax.nn.silu(te),
+                 compute_dtype=jnp.float32)
+    t_emb = te.reshape(b, nt, cfg.adaln_tembed_dim)
+
+    ctx = P.dense(params["y_embedder"]["fc2"], P.gelu_tanh(
+        P.dense(params["y_embedder"]["fc1"],
+                encoder_hidden_states.astype(policy.compute_dtype))))
+    kv_lens = (encoder_attention_mask.sum(axis=1).astype(jnp.int32)
+               if encoder_attention_mask is not None else None)
+
+    cos_full, sin_full = rope_cos_sin(tc + nt, nh, nw, cfg.head_dim)
+    cos_q, sin_q = cos_full[n_cond:], sin_full[n_cond:]
+    h = cfg.num_heads
+    cdt = policy.compute_dtype
+
+    def body(carry, inputs):
+        layer, kv = inputs
+        xf = carry
+        mod = P.dense(layer["adaln"], jax.nn.silu(t_emb),
+                      compute_dtype=jnp.float32)
+        sh_a, sc_a, g_a, sh_f, sc_f, g_f = jnp.split(mod, 6, axis=-1)
+        x_m = _modulate_per_frame(xf, sh_a, sc_a, nt, cfg.eps).astype(cdt)
+        qkv = P.dense(layer["qkv"], x_m)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _rms_hd(layer["q_norm"], _heads_hd(q, h), cfg.eps)
+        k = _rms_hd(layer["k_norm"], _heads_hd(k, h), cfg.eps)
+        v_h = _heads_hd(v, h)
+        k_full = jnp.concatenate([kv[0].astype(jnp.float32), k], axis=1)
+        v_full = jnp.concatenate([kv[1].astype(cdt), v_h.astype(cdt)],
+                                 axis=1)
+        q = apply_rope(q, cos_q, sin_q, out_dtype=cdt)
+        k_full = apply_rope(k_full, cos_full, sin_full, out_dtype=cdt)
+        o = attention(q, k_full, v_full, impl=attn_impl)
+        o = P.dense(layer["attn_proj"],
+                    o.reshape(b, nt * nh * nw, cfg.hidden_size).astype(cdt))
+        of = o.astype(jnp.float32).reshape(b, nt, -1, cfg.hidden_size)
+        xf = xf + (g_a[:, :, None] * of).reshape(xf.shape)
+
+        h2 = P.layer_norm(layer["pre_crs_norm"], xf, eps=cfg.eps,
+                          out_dtype=cdt)
+        xf = xf + _cross_attention_lc(layer, cfg, h2, ctx, kv_lens, nt, 0,
+                                      policy, attn_impl).astype(jnp.float32)
+
+        x_m2 = _modulate_per_frame(xf, sh_f, sc_f, nt, cfg.eps).astype(cdt)
+        ff = P.dense(layer["w2"], jax.nn.silu(P.dense(layer["w1"], x_m2))
+                     * P.dense(layer["w3"], x_m2))
+        ff = ff.astype(jnp.float32).reshape(b, nt, -1, cfg.hidden_size)
+        xf = xf + (g_f[:, :, None] * ff).reshape(xf.shape)
+        return xf, None
+
+    xN, _ = jax.lax.scan(body, x.astype(jnp.float32),
+                         (params["blocks"], kv_cache))
+
+    fmod = P.dense(params["final"]["adaln"], jax.nn.silu(t_emb),
+                   compute_dtype=jnp.float32)
+    sh, sc = jnp.split(fmod, 2, axis=-1)
+    xN = _modulate_per_frame(xN, sh, sc, nt, cfg.eps)
+    out = P.dense(params["final"]["linear"], xN, compute_dtype=jnp.float32)
+    return unpatchify(out, (nt, nh, nw), cfg.patch_size,
+                      cfg.out_channels).astype(jnp.float32)
+
+
 # ------------------------------------------------------------------ LoRA
 
 

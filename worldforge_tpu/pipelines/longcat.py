@@ -192,6 +192,123 @@ class LongCatPipeline:
         out = (np.asarray(video, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)
 
+    def generate_t2v(
+        self,
+        key,
+        prompt_embeds: jnp.ndarray,
+        prompt_mask: Optional[jnp.ndarray],
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_prompt_mask: Optional[jnp.ndarray] = None,
+        *,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 93,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 4.0,
+        use_distill: bool = False,
+        flow_shift: float = 1.0,
+        output_type: str = "np",
+    ):
+        """Text-to-video (generate_t2v, pipeline :408-615: plain flow-match
+        Euler loop, CFG-zero, no cond latents)."""
+        b = prompt_embeds.shape[0]
+        do_cfg = guidance_scale > 1 and negative_prompt_embeds is not None \
+            and not use_distill
+        sched = make_flow_match_schedule(num_inference_steps,
+                                         shift=flow_shift,
+                                         use_distill=use_distill)
+        t_lat = (num_frames - 1) // self.vae_scale_t + 1
+        key, k_n = jax.random.split(key)
+        latents = jax.random.normal(
+            k_n, (b, self.dit_cfg.in_channels, t_lat,
+                  height // self.vae_scale_s, width // self.vae_scale_s),
+            jnp.float32)
+        dit = self._dit_fn
+        for i in range(sched.num_steps):
+            tb = jnp.full((b, t_lat), float(sched.timesteps[i]), jnp.float32)
+            v = dit(self.dit_params, latents, tb, prompt_embeds,
+                    prompt_mask, 0)
+            if do_cfg:
+                vu = dit(self.dit_params, latents, tb,
+                         negative_prompt_embeds, negative_prompt_mask, 0)
+                v = cfg_zero_combine(v, vu, guidance_scale)
+            latents = fm_euler_step(sched, i, latents, -v)
+        video = self._vae_decode_fn()(latents)
+        if output_type == "latent":
+            return latents
+        out = (np.asarray(video, np.float32) + 1.0) / 2.0
+        return np.clip(out, 0.0, 1.0)
+
+    def generate_vc(
+        self,
+        key,
+        video: jnp.ndarray,                    # [B,3,Tc,H,W] in [-1,1]
+        prompt_embeds: jnp.ndarray,
+        prompt_mask: Optional[jnp.ndarray],
+        *,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 93,
+        num_cond_frames: int = 13,
+        num_inference_steps: int = 50,
+        use_distill: bool = False,
+        flow_shift: float = 1.0,
+        enhance_hf: bool = True,
+        output_type: str = "np",
+    ):
+        """Long-video continuation with per-block KV caches
+        (generate_vc, pipeline :1010-1271): the DiT runs once over the
+        clean conditioning latents collecting per-layer K/V; denoising then
+        runs only on the noise latents attending to the cached cond tokens.
+        enhance_hf replaces the timestep tail below 500 with a 10-step
+        uniform ramp (:1157-1166); incompatible with distill."""
+        from worldforge_tpu.models.longcat.dit import (
+            longcat_dit_cache_cond, longcat_dit_forward_with_cache)
+        from worldforge_tpu.sampling.flow_match import FlowMatchSchedule
+
+        assert not (use_distill and enhance_hf), \
+            "use_distill and enhance_hf cannot both be True (:1079)"
+        b = video.shape[0]
+        sched = make_flow_match_schedule(num_inference_steps,
+                                         shift=flow_shift,
+                                         use_distill=use_distill)
+        if enhance_hf:
+            keep = sched.timesteps[sched.timesteps > 500.0]
+            tail = np.linspace(500.0, 0.0, 10, endpoint=False)
+            ts = np.concatenate([keep, tail])
+            sched = FlowMatchSchedule(
+                sigmas=np.concatenate([ts / 1000.0, [0.0]]), timesteps=ts,
+                num_steps=len(ts))
+
+        n_cond_lat = 1 + (num_cond_frames - 1) // self.vae_scale_t
+        t_lat = (num_frames - 1) // self.vae_scale_t + 1
+        h_lat, w_lat = height // self.vae_scale_s, width // self.vae_scale_s
+
+        enc = self._vae_encode_fn()
+        cond_lat = enc(video[:, :, -num_cond_frames:].astype(jnp.float32))
+        key, k_n = jax.random.split(key)
+        noise = jax.random.normal(
+            k_n, (b, self.dit_cfg.in_channels, t_lat - n_cond_lat,
+                  h_lat, w_lat), jnp.float32)
+
+        kv_cache = longcat_dit_cache_cond(self.dit_params, self.dit_cfg,
+                                          cond_lat)
+        latents = noise
+        for i in range(sched.num_steps):
+            nt = latents.shape[2] // self.dit_cfg.patch_size[0]
+            tb = jnp.full((b, nt), float(sched.timesteps[i]), jnp.float32)
+            v = longcat_dit_forward_with_cache(
+                self.dit_params, self.dit_cfg, latents, tb, prompt_embeds,
+                kv_cache, (n_cond_lat,), encoder_attention_mask=prompt_mask)
+            latents = fm_euler_step(sched, i, latents, -v)
+
+        full = jnp.concatenate([cond_lat, latents], axis=2)
+        video_out = self._vae_decode_fn()(full)
+        if output_type == "latent":
+            return full
+        out = (np.asarray(video_out, np.float32) + 1.0) / 2.0
+        return np.clip(out, 0.0, 1.0)
+
     def generate_refine(
         self,
         key,
