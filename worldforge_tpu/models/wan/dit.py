@@ -106,7 +106,8 @@ def init_wan_dit_layer(key, cfg: WanDiTConfig, dtype=jnp.float32) -> dict:
     return {
         "self_attn": _attn_init(ks[0], d, dtype=dtype),
         "cross_attn": _attn_init(ks[1], d,
-                                 img_branch=(cfg.model_type == "i2v"),
+                                 img_branch=(cfg.model_type in
+                                             ("i2v", "flf2v")),
                                  dtype=dtype),
         "norm3": P.layer_norm_init(d, affine=True, dtype=dtype),
         "ffn": {
@@ -146,7 +147,7 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
                            ).astype(jnp.float32),
         },
     }
-    if cfg.model_type == "i2v":
+    if cfg.model_type in ("i2v", "flf2v"):
         c = cfg.clip_dim
         p["img_emb"] = {
             "norm_in": P.layer_norm_init(c, dtype=dtype),
@@ -154,6 +155,10 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
             "fc2": P.dense_init(ks[10], c, d, dtype=dtype),
             "norm_out": P.layer_norm_init(d, dtype=dtype),
         }
+        if cfg.model_type == "flf2v":
+            # first+last frame: 2x257 tokens (model.py:15, 359-361)
+            p["img_emb"]["emb_pos"] = jnp.zeros((1, 2 * CLIP_TOKENS, c),
+                                                dtype)
     return p
 
 
@@ -209,7 +214,7 @@ def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
         attn_fn = lambda q, k, v: attention(q, k, v, impl=attn_impl)
 
     q = _heads(P.rms_norm(p["norm_q"], P.dense(p["q"], xq), eps=cfg.eps), h)
-    if img_ctx_len and cfg.model_type == "i2v":
+    if img_ctx_len and cfg.model_type in ("i2v", "flf2v"):
         ctx_img, ctx_txt = ctx[:, :img_ctx_len], ctx[:, img_ctx_len:]
     else:
         ctx_img, ctx_txt = None, ctx
@@ -320,8 +325,12 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
                   P.gelu_tanh(P.dense(params["text_embedding"]["fc1"],
                                       context.astype(policy.compute_dtype))))
     img_ctx_len = 0
-    if clip_fea is not None and cfg.model_type == "i2v":
+    if clip_fea is not None and cfg.model_type in ("i2v", "flf2v"):
         ie = params["img_emb"]
+        if "emb_pos" in ie:  # flf2v: first+last CLIP tokens get positional
+            # embeddings before the projection (MLPProj, model.py:359-367)
+            clip_fea = (clip_fea.astype(jnp.float32)
+                        + ie["emb_pos"].astype(jnp.float32))
         ci = P.layer_norm(ie["norm_in"], clip_fea.astype(policy.compute_dtype),
                           eps=1e-5)
         ci = jax.nn.gelu(P.dense(ie["fc1"], ci.astype(policy.compute_dtype)),
