@@ -40,7 +40,7 @@ def bench_wan_dit_480p():
     f, h, w = 13, 30, 52          # 480p x 49 frames -> 20280 tokens
     seq = f * h * w
     key = jax.random.key(0)
-    layer = init_wan_dit_layer(key, cfg)
+    layer = init_wan_dit_layer(key, cfg, dtype=jnp.bfloat16)
 
     x = jax.random.normal(key, (1, seq, cfg.dim), jnp.bfloat16)
     e = jax.random.normal(key, (1, 6, cfg.dim), jnp.float32)
