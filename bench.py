@@ -59,7 +59,7 @@ def bench_wan_dit_480p():
     n_iter = 8
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = step(layer, out.astype(jnp.bfloat16), e, ctx)
+        out = step(layer, x, e, ctx)
     _sync(out)
     per_layer = (time.perf_counter() - t0) / n_iter
 
