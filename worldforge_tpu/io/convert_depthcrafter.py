@@ -154,16 +154,83 @@ def convert_svd_unet(sd: Dict[str, np.ndarray], cfg: SVDUNetConfig,
     return params
 
 
+def convert_svd_vae(sd: Dict[str, np.ndarray], cfg: SVDVAEConfig,
+                    dtype=jnp.float32) -> dict:
+    """diffusers AutoencoderKLTemporalDecoder state dict -> init_svd_vae
+    pytree. Encoder: standard SD names; decoder: temporal blocks."""
+    boc = cfg.block_out_channels
+    enc = {"conv_in": _c(sd, "encoder.conv_in", dtype), "down": []}
+    for i in range(len(boc)):
+        pre = f"encoder.down_blocks.{i}"
+        blk = {"resnets": [_res2d_c(sd, f"{pre}.resnets.{j}", dtype)
+                           for j in range(cfg.layers_per_block)]}
+        if f"{pre}.downsamplers.0.conv.weight" in sd:
+            blk["down"] = _c(sd, f"{pre}.downsamplers.0.conv", dtype)
+        enc["down"].append(blk)
+    mid = "encoder.mid_block"
+    enc["mid"] = {
+        "res1": _res2d_c(sd, f"{mid}.resnets.0", dtype),
+        "attn_norm": _gn(sd, f"{mid}.attentions.0.group_norm", dtype),
+        "attn": _attn_c(sd, f"{mid}.attentions.0", dtype),
+        "res2": _res2d_c(sd, f"{mid}.resnets.1", dtype),
+    }
+    enc["norm_out"] = _gn(sd, "encoder.conv_norm_out", dtype)
+    enc["conv_out"] = _c(sd, "encoder.conv_out", dtype)
+    enc["quant_conv"] = _c(sd, "quant_conv", dtype)
+
+    dec = {"conv_in": _c(sd, "decoder.conv_in", dtype), "up": []}
+    dmid = "decoder.mid_block"
+    dec["mid"] = {
+        "res1": _st_res_c(sd, f"{dmid}.resnets.0", dtype),
+        "attn_norm": _gn(sd, f"{dmid}.attentions.0.group_norm", dtype),
+        "attn": _attn_c(sd, f"{dmid}.attentions.0", dtype),
+        "res2": _st_res_c(sd, f"{dmid}.resnets.1", dtype),
+    }
+    for i in range(len(boc)):
+        pre = f"decoder.up_blocks.{i}"
+        blk = {"resnets": [_st_res_c(sd, f"{pre}.resnets.{j}", dtype)
+                           for j in range(cfg.layers_per_block + 1)]}
+        if f"{pre}.upsamplers.0.conv.weight" in sd:
+            blk["up"] = _c(sd, f"{pre}.upsamplers.0.conv", dtype)
+        dec["up"].append(blk)
+    dec["norm_out"] = _gn(sd, "decoder.conv_norm_out", dtype)
+    dec["conv_out"] = _c(sd, "decoder.conv_out", dtype)
+    dec["time_conv_out"] = _c(sd, "decoder.time_conv_out", dtype)
+    return {"encoder": enc, "decoder": dec}
+
+
 def load_converted_depthcrafter(checkpoint_dir: str):
     import os
+    from worldforge_tpu.models.encoders.clip_vision import (
+        CLIPVisionConfig, clip_vision_image_embeds, preprocess_clip)
+    from worldforge_tpu.io.convert_encoders import convert_clip_vision
+    from worldforge_tpu.io.torch_load import linear_w
     from worldforge_tpu.pipelines.depthcrafter import DepthCrafterPipeline
+    import jax.numpy as _jnp
+    import numpy as _np
 
     cfg = SVDUNetConfig.svd()
     unet = convert_svd_unet(
         load_state_dict(os.path.join(checkpoint_dir, "unet")), cfg)
     vae_cfg = SVDVAEConfig.svd()
-    # VAE conversion follows the same _res/_attn mapping; name layout from
-    # diffusers AutoencoderKLTemporalDecoder
-    raise NotImplementedError(
-        "SVD VAE conversion pending real-checkpoint validation; unet "
-        "conversion is ready. Track: round 2.")
+    vae = convert_svd_vae(
+        load_state_dict(os.path.join(checkpoint_dir, "vae")), vae_cfg)
+
+    enc_dir = os.path.join(checkpoint_dir, "image_encoder")
+    encode_frames = None
+    if os.path.exists(enc_dir):
+        clip_cfg = CLIPVisionConfig.vit_h_14()
+        sd = load_state_dict(enc_dir)
+        clip_params = convert_clip_vision(sd, clip_cfg)
+        proj = {"proj": {"w": _jnp.asarray(
+            linear_w(sd, "visual_projection"), _jnp.float32)}}
+
+        def encode_frames(frames):  # [T,3,H,W] in [-1,1]
+            arr = _np.asarray((frames + 1.0) / 2.0).transpose(0, 2, 3, 1)
+            px = _np.concatenate([preprocess_clip(f) for f in arr], axis=0)
+            return clip_vision_image_embeds(clip_params, proj, clip_cfg,
+                                            _jnp.asarray(px))
+
+    return DepthCrafterPipeline(unet_params=unet, unet_cfg=cfg,
+                                vae_params=vae, vae_cfg=vae_cfg,
+                                encode_frames_clip=encode_frames)

@@ -63,11 +63,24 @@ def _flow_similarity_scores(pred_flows: jnp.ndarray,
     return jnp.clip(1.0 - err, 0.0, 1.0)
 
 
+def _temporal_diff_motion(video: jnp.ndarray) -> jnp.ndarray:
+    """Fallback motion features: per-channel frame differences repeated to
+    the 2-channel flow layout (reference fallback path, scheduling_unipc
+    :168-171 diff + _compute_flow_metrics' repeat-to-2ch :566-571)."""
+    d = (video[:, :, 1:] - video[:, :, :-1]).astype(jnp.float32)
+    return jnp.stack([d, d], axis=3)  # [B, C, T-1, 2, H, W]
+
+
 def channel_similarities(pred_x0: jnp.ndarray,
-                         ref_latents: jnp.ndarray) -> np.ndarray:
+                         ref_latents: jnp.ndarray,
+                         use_optical_flow: bool = True) -> np.ndarray:
     """Per-channel flow-similarity scores [C] (host numpy)."""
-    pf = video_channel_flows(pred_x0)
-    rf = video_channel_flows(ref_latents)
+    if use_optical_flow:
+        pf = video_channel_flows(pred_x0)
+        rf = video_channel_flows(ref_latents)
+    else:
+        pf = _temporal_diff_motion(pred_x0)
+        rf = _temporal_diff_motion(ref_latents)
     return np.asarray(_flow_similarity_scores(pf, rf))
 
 

@@ -36,6 +36,7 @@ class GuidanceConfig:
     flf_backend: str = "wan"      # 'wan' | 'longcat' selection schedule
     distill: bool = False         # LongCat distilled schedule
     max_replace: Optional[int] = None
+    use_optical_flow: bool = True  # False -> temporal-difference fallback
 
 
 def resize_video_like(x: jnp.ndarray, target_shape, method: str):
@@ -86,7 +87,8 @@ def flf_select(pred_x0: jnp.ndarray, encoded_ref: jnp.ndarray,
         return []
     if cfg.flf_backend == "wan" and current_step < 2:
         return []  # avoid computing flows before they can be used
-    scores = channel_similarities(pred_x0, encoded_ref)
+    scores = channel_similarities(pred_x0, encoded_ref,
+                                  use_optical_flow=cfg.use_optical_flow)
     if cfg.flf_backend == "wan":
         return select_channels_wan(scores, current_step)
     return select_channels_longcat(scores, current_step, cfg.distill,
