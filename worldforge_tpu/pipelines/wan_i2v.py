@@ -141,7 +141,11 @@ class WanI2VPipeline:
         guidance: GuidanceConfig = GuidanceConfig(),
         output_type: str = "np",
         callback: Optional[Callable[[int, jnp.ndarray], None]] = None,
+        noise_fn: Optional[Callable] = None,
     ):
+        """noise_fn(shape) -> array overrides the JAX RNG for initial
+        latents and IRR re-noise — used by the drift harness to inject
+        torch.Generator-compatible noise (utils/torch_rng.py)."""
         if num_frames % self.vae_scale_t != 1:
             num_frames = num_frames // self.vae_scale_t * self.vae_scale_t + 1
         batch = image.shape[0]
@@ -151,6 +155,8 @@ class WanI2VPipeline:
         key, k_lat = jax.random.split(key)
         latents, condition = self.prepare_latents(
             k_lat, image, batch, height, width, num_frames)
+        if noise_fn is not None:
+            latents = jnp.asarray(noise_fn(latents.shape), jnp.float32)
 
         dec = self._vae_decode_fn()
         enc = self._vae_encode_fn()
@@ -201,8 +207,11 @@ class WanI2VPipeline:
                                           m1 if order >= 2 else None)
 
                 if i < guidance.resample_round and r < n_resample - 1:
-                    key, k_noise = jax.random.split(key)
-                    noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
+                    if noise_fn is not None:
+                        noise = jnp.asarray(noise_fn(x0.shape), x0.dtype)
+                    else:
+                        key, k_noise = jax.random.split(key)
+                        noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
                     latents = add_noise(sched, i, x0, noise)
 
             if len(deriv_history) > 1:
