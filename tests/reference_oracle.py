@@ -34,27 +34,104 @@ def _install_stubs():
         sys.modules["ftfy"] = ftfy
 
     if "diffusers" not in sys.modules:
+        import enum
+
         diff = types.ModuleType("diffusers")
         cu = types.ModuleType("diffusers.configuration_utils")
 
         class ConfigMixin:
-            pass
+            """Minimal stand-in: register_to_config stores kwargs on
+            self.config with attribute access (the reference scheduler only
+            reads config attributes)."""
 
-        def register_to_config(fn):
-            return fn
+        class _Config(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+        def register_to_config(init):
+            import functools
+            import inspect
+
+            sig = inspect.signature(init)
+
+            @functools.wraps(init)
+            def wrapper(self, *args, **kwargs):
+                bound = sig.bind(self, *args, **kwargs)
+                bound.apply_defaults()
+                cfg = {k: v for k, v in bound.arguments.items()
+                       if k != "self"}
+                self._internal_config = _Config(cfg)
+                type(self).config = property(
+                    lambda s: s._internal_config)
+                return init(self, *args, **kwargs)
+
+            return wrapper
 
         cu.ConfigMixin = ConfigMixin
         cu.register_to_config = register_to_config
+
         mu = types.ModuleType("diffusers.models.modeling_utils")
         mu.ModelMixin = torch.nn.Module
         models = types.ModuleType("diffusers.models")
         models.modeling_utils = mu
+
+        du = types.ModuleType("diffusers.utils")
+
+        def deprecate(*a, **k):
+            return None
+
+        class BaseOutput:
+            def __init__(self, **kwargs):
+                for k, v in kwargs.items():
+                    setattr(self, k, v)
+
+            def __init_subclass__(cls, **kw):
+                # dataclass-decorated subclasses work as-is
+                super().__init_subclass__(**kw)
+
+        class _Logging:
+            @staticmethod
+            def get_logger(name=None):
+                import logging as _l
+                return _l.getLogger(name or "diffusers")
+
+        du.deprecate = deprecate
+        du.is_scipy_available = lambda: True
+        du.BaseOutput = BaseOutput
+        du.logging = _Logging()
+
+        su = types.ModuleType("diffusers.schedulers.scheduling_utils")
+
+        class SchedulerMixin:
+            pass
+
+        class KarrasDiffusionSchedulers(enum.Enum):
+            DDIMScheduler = 1
+
+        class SchedulerOutput:
+            def __init__(self, prev_sample=None):
+                self.prev_sample = prev_sample
+
+        su.SchedulerMixin = SchedulerMixin
+        su.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+        su.SchedulerOutput = SchedulerOutput
+        schedulers = types.ModuleType("diffusers.schedulers")
+        schedulers.scheduling_utils = su
+
         diff.configuration_utils = cu
         diff.models = models
+        diff.utils = du
+        diff.schedulers = schedulers
         sys.modules["diffusers"] = diff
         sys.modules["diffusers.configuration_utils"] = cu
         sys.modules["diffusers.models"] = models
         sys.modules["diffusers.models.modeling_utils"] = mu
+        sys.modules["diffusers.utils"] = du
+        sys.modules["diffusers.schedulers"] = schedulers
+        sys.modules["diffusers.schedulers.scheduling_utils"] = su
 
 
 def _patch_cuda_autocast():
@@ -116,3 +193,42 @@ def import_wan_reference():
 
     wan_model.flash_attention = _sdpa_flash_attention
     return wan_model, wan_vae
+
+
+def import_wan_scheduler():
+    """Import the reference UniPC scheduler module (torch CPU)."""
+    _patch_cuda_autocast()
+    _install_stubs()
+    base = "/root/reference/wan_for_worldforge"
+    if base not in sys.path:
+        sys.path.insert(0, base)
+    import importlib
+
+    if "utils" in sys.modules and not getattr(
+            sys.modules["utils"], "__wan_ref__", False):
+        del sys.modules["utils"]
+    pkg = types.ModuleType("utils")
+    pkg.__path__ = [f"{base}/utils"]
+    pkg.__wan_ref__ = True
+    sys.modules["utils"] = pkg
+    return importlib.import_module("utils.scheduling_unipc_multistep_clean")
+
+
+def import_longcat_scheduler():
+    """Import the reference LongCat flow-match scheduler (torch CPU)."""
+    _patch_cuda_autocast()
+    _install_stubs()
+    base = "/root/reference/longcat_for_worldforge"
+    if base not in sys.path:
+        sys.path.insert(0, base)
+    import importlib
+
+    for name, path in (
+            ("longcat_video", f"{base}/longcat_video"),
+            ("longcat_video.modules", f"{base}/longcat_video/modules")):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    return importlib.import_module(
+        "longcat_video.modules.scheduling_flow_match_euler_discrete")

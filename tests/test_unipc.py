@@ -20,9 +20,11 @@ def test_flow_sigma_schedule_values():
     assert abs(s.sigmas[0] - expected0) < 1e-12
     assert s.sigmas[-1] == 0.0
     assert np.all(np.diff(s.sigmas) < 0)  # strictly decreasing
-    np.testing.assert_allclose(s.timesteps, s.sigmas[:-1] * 1000.0)
+    # reference casts timesteps to int64 (set_timesteps :826-827)
+    np.testing.assert_allclose(s.timesteps,
+                               np.floor(s.sigmas[:-1] * 1000.0))
     np.testing.assert_array_equal(s.resample_timesteps,
-                                  np.floor(s.timesteps).astype(np.int64))
+                                  s.timesteps.astype(np.int64))
 
 
 def _oracle_unip(sigmas, i, x, m0, m1, order):

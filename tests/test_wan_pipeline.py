@@ -97,6 +97,35 @@ def test_seed_determinism(tiny_pipe):
     np.testing.assert_array_equal(o1, o2)
 
 
+def test_fused_scan_pipeline_matches_loop(tiny_pipe):
+    """fused=True (one jitted lax.scan program) must reproduce the python
+    loop exactly (same RNG split sequence by construction)."""
+    image, pe, ne, ie, ref, mask = _inputs(tiny_pipe)
+    kwargs = dict(height=16, width=16, num_frames=5, num_inference_steps=4,
+                  guidance_scale=4.0, video_ref=ref, mask=mask,
+                  guidance=GuidanceConfig(guided=True, guide_steps=3,
+                                          resample_steps=2,
+                                          resample_round=3, use_flf=False))
+    o_loop = tiny_pipe.generate(jax.random.key(11), image, pe, ne, ie,
+                                **kwargs)
+    o_scan = tiny_pipe.generate(jax.random.key(11), image, pe, ne, ie,
+                                fused=True, **kwargs)
+    np.testing.assert_allclose(o_scan, o_loop, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_scan_with_device_flf(tiny_pipe):
+    image, pe, ne, ie, ref, mask = _inputs(tiny_pipe)
+    out = tiny_pipe.generate(
+        jax.random.key(12), image, pe, ne, ie, height=16, width=16,
+        num_frames=5, num_inference_steps=3, guidance_scale=4.0,
+        video_ref=ref, mask=mask, fused=True,
+        guidance=GuidanceConfig(guided=True, guide_steps=3,
+                                resample_steps=2, resample_round=2,
+                                use_flf=True))
+    assert out.shape == (1, 3, 5, 16, 16)
+    assert np.isfinite(out).all()
+
+
 def test_soften_mask():
     m = np.zeros((1, 32, 32), np.float32)
     m[0, 8:24, 8:24] = 1.0

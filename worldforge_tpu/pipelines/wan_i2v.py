@@ -38,10 +38,7 @@ from worldforge_tpu.models.wan.vae import (WanVAEConfig, vae_decode,
                                            vae_encode)
 from worldforge_tpu.sampling.guidance import (GuidanceConfig, flf_select,
                                               fuse_latents)
-from worldforge_tpu.sampling.unipc import (FlowUniPCSchedule, add_noise,
-                                           dsg_extrapolate, flow_pred_x0,
-                                           make_flow_unipc_schedule,
-                                           unip_update)
+from worldforge_tpu.sampling.unipc import make_flow_unipc_schedule
 from worldforge_tpu.sampling.channel_select import apply_channel_replacement
 
 
@@ -142,10 +139,16 @@ class WanI2VPipeline:
         output_type: str = "np",
         callback: Optional[Callable[[int, jnp.ndarray], None]] = None,
         noise_fn: Optional[Callable] = None,
+        fused: bool = False,
     ):
         """noise_fn(shape) -> array overrides the JAX RNG for initial
         latents and IRR re-noise — used by the drift harness to inject
-        torch.Generator-compatible noise (utils/torch_rng.py)."""
+        torch.Generator-compatible noise (utils/torch_rng.py).
+
+        fused=True compiles the ENTIRE denoise loop (IRR + VAE fusion +
+        device-side FLF + DSG) into one lax.scan program — no host round
+        trips per step (SURVEY §7: the single biggest TPU win). Incompatible
+        with noise_fn/callback."""
         if num_frames % self.vae_scale_t != 1:
             num_frames = num_frames // self.vae_scale_t * self.vae_scale_t + 1
         batch = image.shape[0]
@@ -164,73 +167,61 @@ class WanI2VPipeline:
 
         guided_on = guidance.guided and video_ref is not None and mask is not None
 
-        m0 = m1 = None  # solver history (converted x0 preds)
-        for i in range(sched.num_steps):
-            order = sched.order_for_step(i, min(i, 2))
-            t_main = jnp.float32(sched.timesteps[i])
-            t_res = jnp.float32(sched.resample_timesteps[i])
+        def model_fn(lat, t_model, i, r):
+            t = jnp.float32(t_model)
+            if do_cfg:
+                return run_cfg(self.dit_params, lat, condition, t,
+                               prompt_embeds, negative_prompt_embeds,
+                               image_embeds, guidance_scale)
+            return run_nocfg(self.dit_params, lat, condition, t,
+                             prompt_embeds, image_embeds)
 
-            deriv_history: List[jnp.ndarray] = []
-            prev_sample = None
-            n_resample = guidance.resample_steps if i < guidance.resample_round else 1
+        fuse_fn = None
+        if guided_on:
+            def fuse_fn(x0, i, r):
+                pre = x0  # unfused pred_x0 (FLF compares against this and
+                # hands selected channels back, :1393-1412)
+                x0 = fuse_latents(x0, video_ref, mask, dec, enc)
+                if guidance.use_flf and r == 0:  # not while resampling
+                    sel = flf_select(pre, x0, i, guidance)
+                    if sel:
+                        x0 = apply_channel_replacement(x0, pre, sel)
+                return x0
 
-            for r in range(n_resample):
-                t_model = t_main if r == 0 else t_res
-                if do_cfg:
-                    v = run_cfg(self.dit_params, latents, condition, t_model,
-                                prompt_embeds, negative_prompt_embeds,
-                                image_embeds, guidance_scale)
-                    if r < 1:
-                        deriv_history.append(v)
-                else:
-                    v = run_nocfg(self.dit_params, latents, condition,
-                                  t_model, prompt_embeds, image_embeds)
-                if r > 0:
-                    deriv_history.append(v)
+        if fused:
+            assert noise_fn is None and callback is None
+            from worldforge_tpu.sampling.channel_select import (
+                select_mask_wan_device, _flow_similarity_scores)
+            from worldforge_tpu.ops.flow import video_channel_flows
+            from worldforge_tpu.sampling.engine import wan_denoise_scan
 
-                x0 = flow_pred_x0(sched, i, v, latents)
-                if guided_on and i < guidance.guide_steps:
-                    pre = x0  # unfused pred_x0 (FLF compares against this
-                    # and hands selected channels back, :1393-1412)
-                    x0 = fuse_latents(x0, video_ref, mask, dec, enc)
-                    if guidance.use_flf and r == 0:  # not while resampling
-                        sel = flf_select(pre, x0, i, guidance)
-                        if sel:
-                            x0 = apply_channel_replacement(x0, pre, sel)
+            def model_fn_scan(lat, t):
+                return model_fn(lat, t, 0, 0)
 
-                # ring buffer semantics (:1481-1489): only r==0 shifts
-                if r == 0:
-                    m1 = m0
-                m0 = x0
+            fuse_scan = None
+            flf_scan = None
+            if guided_on:
+                def fuse_scan(x0, step):
+                    return fuse_latents(x0, video_ref, mask, dec, enc)
 
-                prev_sample = unip_update(sched, i, order, latents, m0,
-                                          m1 if order >= 2 else None)
+                if guidance.use_flf:
+                    def flf_scan(pre, fused_x0, step):
+                        scores = _flow_similarity_scores(
+                            video_channel_flows(pre),
+                            video_channel_flows(fused_x0))
+                        m = select_mask_wan_device(scores, step)
+                        m = m[None, :, None, None, None]
+                        return fused_x0 * (1.0 - m) + pre * m
 
-                if i < guidance.resample_round and r < n_resample - 1:
-                    if noise_fn is not None:
-                        noise = jnp.asarray(noise_fn(x0.shape), x0.dtype)
-                    else:
-                        key, k_noise = jax.random.split(key)
-                        noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
-                    latents = add_noise(sched, i, x0, noise)
-
-            if len(deriv_history) > 1:
-                # DSG re-update uses the *current* latents — after IRR these
-                # are the last re-noised latents, matching the reference
-                # (loop :573-708: `latents` is only re-assigned by add_noise
-                # inside the inner loop before DSG runs)
-                omega = (guidance.omega if i < guidance.guide_steps
-                         else guidance.omega_resample)
-                better = dsg_extrapolate(deriv_history[-1], deriv_history[0],
-                                         omega)
-                m0 = flow_pred_x0(sched, i, better, latents)  # unfused (:683)
-                latents = unip_update(sched, i, order, latents, m0,
-                                      m1 if order >= 2 else None)
-            else:
-                latents = prev_sample
-
-            if callback is not None:
-                callback(i, latents)
+            latents = wan_denoise_scan(
+                model_fn_scan, latents, sched, guidance, key=key,
+                fuse_fn=fuse_scan, flf_fn=flf_scan, record_r0=do_cfg)
+        else:
+            from worldforge_tpu.sampling.engine import wan_denoise_loop
+            latents = wan_denoise_loop(
+                model_fn, latents, sched, guidance, key=key,
+                noise_fn=noise_fn, fuse_fn=fuse_fn, callback=callback,
+                record_r0=do_cfg)
 
         video = dec(latents)
         if output_type == "latent":

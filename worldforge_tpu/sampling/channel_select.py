@@ -120,6 +120,31 @@ def select_channels_longcat(scores: np.ndarray, current_step: int,
     return sorted(int(i) for i in order[:n].tolist())
 
 
+def select_mask_wan_device(scores: jnp.ndarray, step: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Device-side (traceable) Wan selection schedule: returns a float mask
+    [C], 1 = hand the channel back to the generated latents. Same semantics
+    as select_channels_wan; `step` may be a traced scalar (scan-fused loop).
+
+    Below-threshold channels are exactly the lowest-ranked ones, so the
+    min-2/max-6 clamps reduce to rank comparisons."""
+    c = scores.shape[0]
+    order = jnp.argsort(scores)
+    ranks = jnp.zeros((c,), jnp.int32).at[order].set(
+        jnp.arange(c, dtype=jnp.int32))
+    thr = jnp.mean(scores) - 0.625 * jnp.std(scores)
+    below = scores < thr
+    nbelow = jnp.sum(below.astype(jnp.int32))
+    sel_late = jnp.where(
+        nbelow < 2, ranks < 2,
+        jnp.where(nbelow > 6, below & (ranks < 6), below))
+    sel_mid = ranks < 1
+    mask = jnp.where(step <= 5, jnp.zeros((c,), bool),
+                     jnp.where(step <= 10, sel_mid, sel_late))
+    mask = jnp.where(step < 2, jnp.zeros((c,), bool), mask)
+    return mask.astype(jnp.float32)
+
+
 def apply_channel_replacement(encoded_ref: jnp.ndarray, pred_x0: jnp.ndarray,
                               channels: Sequence[int]) -> jnp.ndarray:
     """Give the selected (low-correlation) channels of the fused/encoded

@@ -1,0 +1,228 @@
+"""The WorldForge denoise engine: one UniPC + IRR/FLF/DSG loop shared by the
+Wan pipelines (SURVEY.md §7 unification: one guidance engine parameterized
+by backend).
+
+State machine semantics transcribed from the reference
+(pipeline_wan_i2v_clean.py:560-712 + scheduling_unipc_multistep_clean.py
+step/add_noise); see pipelines/wan_i2v.py for the line-by-line citations.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from worldforge_tpu.sampling.guidance import GuidanceConfig
+from worldforge_tpu.sampling.unipc import (FlowUniPCSchedule, add_noise,
+                                           dsg_extrapolate, flow_pred_x0,
+                                           unip_update)
+
+
+def wan_denoise_loop(
+    model_fn: Callable[[jnp.ndarray, float, int, int], jnp.ndarray],
+    latents: jnp.ndarray,
+    sched: FlowUniPCSchedule,
+    guidance: GuidanceConfig,
+    *,
+    key=None,
+    noise_fn: Optional[Callable] = None,
+    fuse_fn: Optional[Callable] = None,
+    callback: Optional[Callable] = None,
+    record_r0: bool = True,
+) -> jnp.ndarray:
+    """Run the full denoise loop.
+
+    model_fn(latents, t_model, i, r) -> velocity (CFG already applied).
+    fuse_fn(x0, i, r) -> fused x0 (guided pixel fusion + FLF); None = off.
+    noise_fn(shape) -> IRR re-noise override (torch-compatible RNG).
+    record_r0: whether the r=0 prediction joins the DSG history — the
+    reference records it only under CFG (pipeline :612-616), so DSG without
+    CFG needs resample_steps >= 3.
+    """
+    m0 = m1 = None
+    guided_on = fuse_fn is not None
+
+    for i in range(sched.num_steps):
+        order = sched.order_for_step(i, min(i, 2))
+        t_main = float(sched.timesteps[i])
+        t_res = float(sched.resample_timesteps[i])
+
+        deriv_history: List[jnp.ndarray] = []
+        prev_sample = None
+        n_resample = (guidance.resample_steps
+                      if i < guidance.resample_round else 1)
+
+        for r in range(n_resample):
+            t_model = t_main if r == 0 else t_res
+            v = model_fn(latents, t_model, i, r)
+            if r > 0 or record_r0:
+                deriv_history.append(v)
+
+            x0 = flow_pred_x0(sched, i, v, latents)
+            if guided_on and i < guidance.guide_steps:
+                x0 = fuse_fn(x0, i, r)
+
+            if r == 0:
+                m1 = m0
+            m0 = x0
+            # reference quirk: in resample mode the next-sigma index clamps
+            # to the resample table (uni_p :1005-1012), so at the FINAL step
+            # sigma_t == sigma_s0 and the update is the identity
+            is_final = i == sched.num_steps - 1
+            if r > 0 and is_final:
+                prev_sample = latents
+            else:
+                prev_sample = unip_update(sched, i, order, latents, m0,
+                                          m1 if order >= 2 else None)
+
+            if i < guidance.resample_round and r < n_resample - 1:
+                if noise_fn is not None:
+                    noise = jnp.asarray(noise_fn(x0.shape), x0.dtype)
+                else:
+                    key, k_n = jax.random.split(key)
+                    noise = jax.random.normal(k_n, x0.shape, x0.dtype)
+                latents = add_noise(sched, i, x0, noise)
+
+        if len(deriv_history) > 1:
+            omega = (guidance.omega if i < guidance.guide_steps
+                     else guidance.omega_resample)
+            better = dsg_extrapolate(deriv_history[-1], deriv_history[0],
+                                     omega)
+            m0 = flow_pred_x0(sched, i, better, latents)
+            if n_resample > 1 and i == sched.num_steps - 1:
+                pass  # resample-mode final-step identity (see above)
+            else:
+                latents = unip_update(sched, i, order, latents, m0,
+                                      m1 if order >= 2 else None)
+        else:
+            latents = prev_sample
+
+        if callback is not None:
+            callback(i, latents)
+    return latents
+
+
+# -------------------------------------------------------------- scan-fused
+
+
+def _order_coeffs(sched: FlowUniPCSchedule):
+    """Per-step UniP coefficients with the order schedule baked in
+    (order_i = min(2, N-i, i+1)); cm1 is 0 where order==1 so the axpy can
+    always take (x, m0, m1)."""
+    import numpy as np
+
+    n = sched.num_steps
+    cx = np.asarray(sched.c_x, np.float32)
+    cm0 = np.empty(n, np.float32)
+    cm1 = np.empty(n, np.float32)
+    for i in range(n):
+        order = min(2, n - i, i + 1)
+        if order >= 2:
+            cm0[i] = sched.c_m0_o2[i]
+            cm1[i] = sched.c_m1_o2[i]
+        else:
+            cm0[i] = sched.c_m0_o1[i]
+            cm1[i] = 0.0
+    return cx, cm0, cm1
+
+
+def wan_denoise_scan(
+    model_fn: Callable,
+    latents: jnp.ndarray,
+    sched: FlowUniPCSchedule,
+    guidance: GuidanceConfig,
+    *,
+    key,
+    fuse_fn: Optional[Callable] = None,
+    flf_fn: Optional[Callable] = None,
+    record_r0: bool = True,
+) -> jnp.ndarray:
+    """The whole denoise loop — IRR, pixel-space fusion, device-side FLF
+    selection, DSG — as lax.scan segments inside ONE jit program (the
+    reference runs this as Python callbacks; SURVEY §7: keeping it compiled
+    is the single biggest TPU win).
+
+    model_fn(latents, t_scalar) -> velocity (traceable, CFG inside).
+    fuse_fn(x0, step_scalar) -> fused x0 (traceable; pixel blend).
+    flf_fn(pre_x0, fused_x0, step_scalar) -> x0 (traceable; device FLF).
+
+    Matches wan_denoise_loop numerically (same coefficients, same state
+    machine, including the resample-mode final-step identity quirk).
+    """
+    import numpy as np
+
+    n = sched.num_steps
+    rs = guidance.resample_steps
+    r_round = min(guidance.resample_round, n)
+    g_steps = min(guidance.guide_steps, n)
+    fuse_on = fuse_fn is not None
+
+    cx, cm0, cm1 = _order_coeffs(sched)
+    ts = np.asarray(sched.timesteps, np.float32)
+    trs = np.asarray(sched.resample_timesteps, np.float32)
+    sig = np.asarray(sched.sigmas[:-1], np.float32)
+    omegas = np.where(np.arange(n) < g_steps, guidance.omega,
+                      guidance.omega_resample).astype(np.float32)
+    finals = (np.arange(n) == n - 1).astype(np.float32)
+
+    bounds = sorted({0, g_steps if fuse_on else 0, r_round, n})
+    segments = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+    def make_body(seg_fuse: bool, seg_irr: bool):
+        dsg_on = seg_irr and (rs >= 2 if record_r0 else rs >= 3)
+
+        def body(carry, xs):
+            lat, m0, m1, k = carry
+            t_i, tr_i, cxi, c0i, c1i, s_i, om_i, fin_i, step_i = xs
+
+            v0 = model_fn(lat, t_i)
+            x0 = lat - s_i * v0
+            if seg_fuse:
+                fused = fuse_fn(x0, step_i)
+                if flf_fn is not None:
+                    fused = flf_fn(x0, fused, step_i)
+                x0 = fused
+            m1n, m0n = m0, x0
+            prev = cxi * lat + c0i * m0n + c1i * m1n
+
+            v_resample = []
+            if seg_irr and rs >= 2:
+                for _ in range(rs - 1):
+                    k, kn = jax.random.split(k)
+                    noise = jax.random.normal(kn, x0.shape, x0.dtype)
+                    lat = (1.0 - s_i) * x0 + s_i * noise
+                    v = model_fn(lat, tr_i)
+                    v_resample.append(v)
+                    x0 = lat - s_i * v
+                    if seg_fuse:
+                        x0 = fuse_fn(x0, step_i)  # FLF skipped (r>0)
+                    m0n = x0
+                    prev = jnp.where(fin_i > 0, lat,
+                                     cxi * lat + c0i * m0n + c1i * m1n)
+
+            if dsg_on:
+                worse = v0 if record_r0 else v_resample[0]
+                good = v_resample[-1]
+                better = dsg_extrapolate(good, worse, om_i)
+                m0n = lat - s_i * better
+                nxt = cxi * lat + c0i * m0n + c1i * m1n
+                lat_next = jnp.where(fin_i > 0, lat, nxt)
+            else:
+                lat_next = prev
+            return (lat_next, m0n, m1n, k), None
+
+        return body
+
+    m0 = jnp.zeros_like(latents)
+    m1 = jnp.zeros_like(latents)
+    carry = (latents, m0, m1, key)
+    for a, b in segments:
+        seg_fuse = fuse_on and a < g_steps
+        seg_irr = a < r_round
+        xs = tuple(jnp.asarray(arr[a:b]) for arr in
+                   (ts, trs, cx, cm0, cm1, sig, omegas, finals))
+        xs = xs + (jnp.arange(a, b, dtype=jnp.float32),)
+        carry, _ = jax.lax.scan(make_body(seg_fuse, seg_irr), carry, xs)
+    return carry[0]

@@ -75,9 +75,12 @@ def make_flow_unipc_schedule(num_inference_steps: int, shift: float = 5.0,
     alphas = np.linspace(1.0, 1.0 / num_train_timesteps, n + 1, dtype=np.float64)
     s = 1.0 - alphas
     sig = np.flip(shift * s / (1.0 + (shift - 1.0) * s))[:-1].copy()
-    timesteps = sig * num_train_timesteps
+    # the reference CASTS timesteps to int64 (set_timesteps :826-827), so
+    # the transformer sees floor(sigma*T); resample timesteps floor to the
+    # same values — IRR re-denoise uses the identical model timestep
+    timesteps = np.floor(sig * num_train_timesteps).astype(np.float64)
     sigmas = np.concatenate([sig, [0.0]])
-    resample_ts = np.floor(timesteps).astype(np.int64)
+    resample_ts = timesteps.astype(np.int64)
 
     c_x = np.zeros(n)
     c_m0_o1 = np.zeros(n)
