@@ -42,7 +42,7 @@ from worldforge_tpu.sampling.unipc import make_flow_unipc_schedule
 from worldforge_tpu.sampling.channel_select import apply_channel_replacement
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash (lru_cache on methods)
 class WanI2VPipeline:
     """Holds params/configs; generation is functional underneath."""
 
@@ -87,6 +87,59 @@ class WanI2VPipeline:
                                    clip_fea=clip_fea, y=y)
 
         return run, run_nocfg
+
+    @functools.lru_cache(maxsize=8)
+    def _fused_runner(self, guidance: GuidanceConfig, num_steps: int,
+                      flow_shift: float, do_cfg: bool, guided_on: bool,
+                      gscale: float):
+        """One cached jit program for the whole denoise loop (keyed on the
+        static config; shapes key the XLA cache underneath)."""
+        from worldforge_tpu.sampling.channel_select import (
+            select_mask_wan_device, _flow_similarity_scores)
+        from worldforge_tpu.ops.flow import video_channel_flows
+        from worldforge_tpu.sampling.engine import wan_denoise_scan
+
+        cfg = self.dit_cfg
+        sched = make_flow_unipc_schedule(num_steps, flow_shift)
+
+        @jax.jit
+        def run(dit_params, vae_params, latents, condition, pe, ne, ie,
+                video_ref, mask, key):
+            def model_fn(lat, t):
+                x = lat.astype(jnp.float32)
+                y = condition.astype(jnp.float32)
+                tb = jnp.broadcast_to(t, (lat.shape[0],))
+                pred = wan_dit_forward(dit_params, cfg, x, tb, pe,
+                                       clip_fea=ie, y=y)
+                if do_cfg:
+                    unc = wan_dit_forward(dit_params, cfg, x, tb, ne,
+                                          clip_fea=ie, y=y)
+                    pred = pred + gscale * (pred - unc)
+                return pred
+
+            fuse_fn = None
+            flf_fn = None
+            if guided_on:
+                def fuse_fn(x0, step):
+                    return fuse_latents(
+                        x0, video_ref, mask,
+                        lambda z: vae_decode(vae_params, self.vae_cfg, z),
+                        lambda v: vae_encode(vae_params, self.vae_cfg, v))
+
+                if guidance.use_flf:
+                    def flf_fn(pre, fused_x0, step):
+                        scores = _flow_similarity_scores(
+                            video_channel_flows(pre),
+                            video_channel_flows(fused_x0))
+                        m = select_mask_wan_device(scores, step)
+                        m = m[None, :, None, None, None]
+                        return fused_x0 * (1.0 - m) + pre * m
+
+            return wan_denoise_scan(model_fn, latents, sched, guidance,
+                                    key=key, fuse_fn=fuse_fn, flf_fn=flf_fn,
+                                    record_r0=do_cfg)
+
+        return run
 
     def prepare_latents(self, key, image, batch_size: int, height: int,
                         width: int, num_frames: int
@@ -190,32 +243,18 @@ class WanI2VPipeline:
 
         if fused:
             assert noise_fn is None and callback is None
-            from worldforge_tpu.sampling.channel_select import (
-                select_mask_wan_device, _flow_similarity_scores)
-            from worldforge_tpu.ops.flow import video_channel_flows
-            from worldforge_tpu.sampling.engine import wan_denoise_scan
-
-            def model_fn_scan(lat, t):
-                return model_fn(lat, t, 0, 0)
-
-            fuse_scan = None
-            flf_scan = None
-            if guided_on:
-                def fuse_scan(x0, step):
-                    return fuse_latents(x0, video_ref, mask, dec, enc)
-
-                if guidance.use_flf:
-                    def flf_scan(pre, fused_x0, step):
-                        scores = _flow_similarity_scores(
-                            video_channel_flows(pre),
-                            video_channel_flows(fused_x0))
-                        m = select_mask_wan_device(scores, step)
-                        m = m[None, :, None, None, None]
-                        return fused_x0 * (1.0 - m) + pre * m
-
-            latents = wan_denoise_scan(
-                model_fn_scan, latents, sched, guidance, key=key,
-                fuse_fn=fuse_scan, flf_fn=flf_scan, record_r0=do_cfg)
+            runner = self._fused_runner(
+                guidance, num_inference_steps, flow_shift, do_cfg,
+                guided_on, float(guidance_scale))
+            ref_arg = video_ref if guided_on else jnp.zeros(
+                (batch, 3, num_frames, height, width), jnp.float32)
+            mask_arg = mask if guided_on else jnp.zeros(
+                (batch, 1, num_frames, height, width), jnp.float32)
+            latents = runner(self.dit_params, self.vae_params, latents,
+                             condition, prompt_embeds,
+                             negative_prompt_embeds if do_cfg else
+                             prompt_embeds, image_embeds, ref_arg, mask_arg,
+                             key)
         else:
             from worldforge_tpu.sampling.engine import wan_denoise_loop
             latents = wan_denoise_loop(
