@@ -1,0 +1,56 @@
+"""Streaming VAE (scan + conv caches) == single-pass VAE (which is itself
+parity-tested against the reference torch streaming code)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from worldforge_tpu.models.wan.vae import (WanVAEConfig, init_wan_vae,
+                                           vae_decode, vae_encode)
+from worldforge_tpu.models.wan.vae_stream import (vae_decode_streaming,
+                                                  vae_encode_streaming)
+
+
+@pytest.fixture(scope="module")
+def vae():
+    cfg = WanVAEConfig.tiny()
+    params = init_wan_vae(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def test_streaming_encode_matches_single_pass(vae, rng):
+    cfg, params = vae
+    video = jnp.asarray(rng.standard_normal((1, 3, 9, 16, 16)) * 0.5,
+                        jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    z_full = vae_encode(params, cfg, video, mean=mean, std=std)
+    z_stream = vae_encode_streaming(params, cfg, video, mean=mean, std=std)
+    assert z_stream.shape == z_full.shape
+    np.testing.assert_allclose(np.asarray(z_stream), np.asarray(z_full),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_streaming_decode_matches_single_pass(vae, rng):
+    cfg, params = vae
+    z = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 3, 2, 2)),
+                    jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    full = vae_decode(params, cfg, z, mean=mean, std=std)
+    stream = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_streaming_single_frame(vae, rng):
+    cfg, params = vae
+    video = jnp.asarray(rng.standard_normal((1, 3, 1, 16, 16)), jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    z = vae_encode_streaming(params, cfg, video, mean=mean, std=std)
+    assert z.shape[2] == 1
+    out = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
+    assert out.shape == video.shape
