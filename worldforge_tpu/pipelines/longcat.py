@@ -41,7 +41,7 @@ from worldforge_tpu.sampling.guidance import (GuidanceConfig, flf_select,
 from worldforge_tpu.sampling.unipc import dsg_extrapolate
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash (lru_cache on methods)
 class LongCatPipeline:
     dit_params: dict
     dit_cfg: LongCatDiTConfig
@@ -86,6 +86,65 @@ class LongCatPipeline:
 
         return run
 
+    @functools.lru_cache(maxsize=8)
+    def _fused_runner(self, guidance: GuidanceConfig, num_steps: int,
+                      flow_shift: float, use_distill: bool, do_cfg: bool,
+                      guided_on: bool, gscale: float):
+        """One cached jit program for the whole i2v denoise loop."""
+        from worldforge_tpu.ops.flow import video_channel_flows
+        from worldforge_tpu.sampling.channel_select import (
+            _flow_similarity_scores, select_mask_longcat_device)
+        from worldforge_tpu.sampling.engine import longcat_denoise_scan
+        from worldforge_tpu.sampling.guidance import fuse_latents as _fuse
+
+        cfg = self.dit_cfg
+        sched = make_flow_match_schedule(num_steps, shift=flow_shift,
+                                         use_distill=use_distill)
+
+        @jax.jit
+        def run(dit_params, vae_params, latents, pe, pmask, ne, nmask,
+                video_ref, mask, key):
+            t_lat = latents.shape[2]
+
+            def model_fn(lat, t):
+                tb = jnp.broadcast_to(t, (lat.shape[0], t_lat))
+                tb = tb.at[:, 0].set(0.0)
+                v = longcat_dit_forward(dit_params, cfg,
+                                        lat.astype(jnp.float32), tb, pe,
+                                        encoder_attention_mask=pmask,
+                                        num_cond_latents=1)
+                if do_cfg:
+                    vu = longcat_dit_forward(dit_params, cfg,
+                                             lat.astype(jnp.float32), tb,
+                                             ne, encoder_attention_mask=nmask,
+                                             num_cond_latents=1)
+                    v = cfg_zero_combine(v, vu, gscale)
+                return -v
+
+            fuse_fn = None
+            if guided_on:
+                def fuse_fn(x0_full, step):
+                    pre = x0_full
+                    fused = _fuse(
+                        x0_full, video_ref, mask,
+                        lambda z: vae_decode(vae_params, self.vae_cfg, z),
+                        lambda v: vae_encode(vae_params, self.vae_cfg, v))
+                    if guidance.use_flf:
+                        scores = _flow_similarity_scores(
+                            video_channel_flows(pre),
+                            video_channel_flows(fused))
+                        m = select_mask_longcat_device(
+                            scores, step, guidance.distill,
+                            guidance.max_replace)
+                        m = m[None, :, None, None, None]
+                        fused = fused * (1.0 - m) + pre * m
+                    return fused
+
+            return longcat_denoise_scan(model_fn, latents, sched, guidance,
+                                        key=key, fuse_fn=fuse_fn)
+
+        return run
+
     def generate_i2v(
         self,
         key,
@@ -106,6 +165,7 @@ class LongCatPipeline:
         mask: Optional[jnp.ndarray] = None,
         guidance: GuidanceConfig = GuidanceConfig(flf_backend="longcat"),
         output_type: str = "np",
+        fused: bool = False,
     ):
         b = image.shape[0]
         do_cfg = guidance_scale > 1 and negative_prompt_embeds is not None \
@@ -130,6 +190,26 @@ class LongCatPipeline:
         guided_on = guidance.guided and video_ref is not None and mask is not None
         gcfg = dataclasses.replace(guidance, flf_backend="longcat",
                                    distill=use_distill)
+
+        if fused:
+            runner = self._fused_runner(gcfg, num_inference_steps,
+                                        flow_shift, use_distill, do_cfg,
+                                        guided_on, float(guidance_scale))
+            ref_arg = video_ref if guided_on else jnp.zeros(
+                (b, 3, num_frames, height, width), jnp.float32)
+            mask_arg = mask if guided_on else jnp.zeros(
+                (b, 1, num_frames, height, width), jnp.float32)
+            latents = runner(self.dit_params, self.vae_params, latents,
+                             prompt_embeds, prompt_mask,
+                             negative_prompt_embeds if do_cfg else
+                             prompt_embeds,
+                             negative_prompt_mask if do_cfg else prompt_mask,
+                             ref_arg, mask_arg, key)
+            video = dec(latents)
+            if output_type == "latent":
+                return latents
+            out = (np.asarray(video, np.float32) + 1.0) / 2.0
+            return np.clip(out, 0.0, 1.0)
 
         for i in range(sched.num_steps):
             t_val = float(sched.timesteps[i])

@@ -145,6 +145,28 @@ def select_mask_wan_device(scores: jnp.ndarray, step: jnp.ndarray
     return mask.astype(jnp.float32)
 
 
+def select_mask_longcat_device(scores: jnp.ndarray, step: jnp.ndarray,
+                               distill: bool,
+                               max_replace: Optional[int] = None
+                               ) -> jnp.ndarray:
+    """Device-side LongCat selection schedule (select_channels_longcat as
+    traceable rank math)."""
+    c = scores.shape[0]
+    order = jnp.argsort(scores)
+    ranks = jnp.zeros((c,), jnp.int32).at[order].set(
+        jnp.arange(c, dtype=jnp.int32))
+    if distill:
+        n_late = max_replace if max_replace is not None else 3
+        early = step <= 3
+    else:
+        n_late = max_replace if max_replace is not None else 1
+        early = step <= 5
+    n = jnp.where(early, 1, n_late)
+    mask = ranks < n
+    mask = jnp.where(step < 1, jnp.zeros((c,), bool), mask)
+    return mask.astype(jnp.float32)
+
+
 def apply_channel_replacement(encoded_ref: jnp.ndarray, pred_x0: jnp.ndarray,
                               channels: Sequence[int]) -> jnp.ndarray:
     """Give the selected (low-correlation) channels of the fused/encoded

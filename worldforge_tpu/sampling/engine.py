@@ -226,3 +226,89 @@ def wan_denoise_scan(
         xs = xs + (jnp.arange(a, b, dtype=jnp.float32),)
         carry, _ = jax.lax.scan(make_body(seg_fuse, seg_irr), carry, xs)
     return carry[0]
+
+
+def longcat_denoise_scan(
+    model_fn: Callable,
+    latents: jnp.ndarray,
+    sched,
+    guidance: GuidanceConfig,
+    *,
+    key,
+    fuse_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """LongCat i2v denoise loop (flow-match Euler + IRR/DSG on the noise
+    frames, cond frame in slot 0) as lax.scan segments — the Euler analog of
+    wan_denoise_scan. model_fn(latents_full, t_scalar) -> NEGATED velocity
+    for the full latents (CFG-zero applied inside); fuse_fn(x0_full, step)
+    -> fused full-latent x0. Semantics: pipeline_longcat_video.py:827-991.
+    """
+    import numpy as np
+
+    n = sched.num_steps
+    rs = guidance.resample_steps
+    r_round = min(guidance.resample_round, n)
+    g_steps = min(guidance.guide_steps, n)
+    fuse_on = fuse_fn is not None
+
+    ts = np.asarray(sched.timesteps, np.float32)
+    sig = np.asarray(sched.sigmas[:-1], np.float32)
+    sig_next = np.asarray(sched.sigmas[1:], np.float32)
+    omegas = np.where(np.arange(n) < g_steps, guidance.omega,
+                      guidance.omega_resample).astype(np.float32)
+
+    bounds = sorted({0, g_steps if fuse_on else 0,
+                     r_round if guidance.guided else 0, n})
+    segments = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+    def make_body(seg_fuse: bool, seg_irr: bool):
+        dsg_on = seg_irr and rs >= 2 and guidance.guided
+
+        def body(carry, xs):
+            lat, k = carry
+            t_i, s_i, sn_i, om_i, step_i = xs
+
+            def run_r(lat, first):
+                v = model_fn(lat, t_i)
+                vn = v[:, :, 1:]
+                x0 = lat[:, :, 1:] - s_i * vn
+                if seg_fuse and first:
+                    vfull = jnp.concatenate(
+                        [jnp.zeros_like(v[:, :, :1]), vn], axis=2)
+                    x0f = lat - s_i * vfull
+                    x0 = fuse_fn(x0f, step_i)[:, :, 1:]
+                elif seg_fuse:
+                    pass  # reference fuses only when not resampling
+                prev = lat[:, :, 1:] + (sn_i - s_i) * vn
+                return v, x0, prev
+
+            v0, x0, prev = run_r(lat, True)
+            v_last = v0
+            if seg_irr and rs >= 2:
+                for _ in range(rs - 1):
+                    k, kn = jax.random.split(k)
+                    noise = jax.random.normal(kn, x0.shape, x0.dtype)
+                    lat = lat.at[:, :, 1:].set((1.0 - s_i) * x0
+                                               + s_i * noise)
+                    v, x0, prev = run_r(lat, False)
+                    v_last = v
+
+            if dsg_on:
+                better = dsg_extrapolate(v_last, v0, om_i)
+                nxt = lat[:, :, 1:] + (sn_i - s_i) * better[:, :, 1:]
+                lat = lat.at[:, :, 1:].set(nxt)
+            else:
+                lat = lat.at[:, :, 1:].set(prev)
+            return (lat, k), None
+
+        return body
+
+    carry = (latents, key)
+    for a, b in segments:
+        seg_fuse = fuse_on and a < g_steps
+        seg_irr = guidance.guided and a < r_round
+        xs = (jnp.asarray(ts[a:b]), jnp.asarray(sig[a:b]),
+              jnp.asarray(sig_next[a:b]), jnp.asarray(omegas[a:b]),
+              jnp.arange(a, b, dtype=jnp.float32))
+        carry, _ = jax.lax.scan(make_body(seg_fuse, seg_irr), carry, xs)
+    return carry[0]
