@@ -50,12 +50,22 @@ class LongCatPipeline:
     policy: Policy = DEFAULT_POLICY
     vae_scale_t: int = 4
     vae_scale_s: int = 8
+    streaming_vae: bool = False  # scan-streaming VAE (see WanI2VPipeline)
+
+    def _vae_fns(self):
+        if self.streaming_vae:
+            from worldforge_tpu.models.wan.vae_stream import (
+                vae_decode_streaming as d, vae_encode_streaming as e)
+            return d, e
+        return vae_decode, vae_encode
 
     def _vae_decode_fn(self):
-        return jax.jit(lambda z: vae_decode(self.vae_params, self.vae_cfg, z))
+        d, _ = self._vae_fns()
+        return jax.jit(lambda z: d(self.vae_params, self.vae_cfg, z))
 
     def _vae_encode_fn(self):
-        return jax.jit(lambda v: vae_encode(self.vae_params, self.vae_cfg, v))
+        _, e = self._vae_fns()
+        return jax.jit(lambda v: e(self.vae_params, self.vae_cfg, v))
 
     @functools.cached_property
     def _dit_fn(self):
@@ -125,10 +135,11 @@ class LongCatPipeline:
             if guided_on:
                 def fuse_fn(x0_full, step):
                     pre = x0_full
+                    _d, _e = self._vae_fns()
                     fused = _fuse(
                         x0_full, video_ref, mask,
-                        lambda z: vae_decode(vae_params, self.vae_cfg, z),
-                        lambda v: vae_encode(vae_params, self.vae_cfg, v))
+                        lambda z: _d(vae_params, self.vae_cfg, z),
+                        lambda v: _e(vae_params, self.vae_cfg, v))
                     if guidance.use_flf:
                         scores = _flow_similarity_scores(
                             video_channel_flows(pre),

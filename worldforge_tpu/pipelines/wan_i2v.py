@@ -53,13 +53,27 @@ class WanI2VPipeline:
     policy: Policy = DEFAULT_POLICY
     vae_scale_t: int = 4
     vae_scale_s: int = 8
+    # scan-streaming VAE: bounds activation memory to one temporal chunk —
+    # required for 480p x 49f on small-HBM chips (the single-pass decode
+    # OOMs on 16 GB; streaming runs in ~3.3 s/clip on a v5e)
+    streaming_vae: bool = False
 
     # ------------------------------------------------------------ pieces
 
     def _vae_decode_fn(self):
+        if self.streaming_vae:
+            from worldforge_tpu.models.wan.vae_stream import \
+                vae_decode_streaming
+            return jax.jit(lambda z: vae_decode_streaming(
+                self.vae_params, self.vae_cfg, z))
         return jax.jit(lambda z: vae_decode(self.vae_params, self.vae_cfg, z))
 
     def _vae_encode_fn(self):
+        if self.streaming_vae:
+            from worldforge_tpu.models.wan.vae_stream import \
+                vae_encode_streaming
+            return jax.jit(lambda v: vae_encode_streaming(
+                self.vae_params, self.vae_cfg, v))
         return jax.jit(lambda v: vae_encode(self.vae_params, self.vae_cfg, v))
 
     @functools.cached_property
@@ -101,6 +115,11 @@ class WanI2VPipeline:
 
         cfg = self.dit_cfg
         sched = make_flow_unipc_schedule(num_steps, flow_shift)
+        if self.streaming_vae:
+            from worldforge_tpu.models.wan.vae_stream import (
+                vae_decode_streaming as _dec, vae_encode_streaming as _enc)
+        else:
+            _dec, _enc = vae_decode, vae_encode
 
         @jax.jit
         def run(dit_params, vae_params, latents, condition, pe, ne, ie,
@@ -123,8 +142,8 @@ class WanI2VPipeline:
                 def fuse_fn(x0, step):
                     return fuse_latents(
                         x0, video_ref, mask,
-                        lambda z: vae_decode(vae_params, self.vae_cfg, z),
-                        lambda v: vae_encode(vae_params, self.vae_cfg, v))
+                        lambda z: _dec(vae_params, self.vae_cfg, z),
+                        lambda v: _enc(vae_params, self.vae_cfg, v))
 
                 if guidance.use_flf:
                     def flf_fn(pre, fused_x0, step):
