@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("H", "W"),
                    help="downscale inputs to HxW before the pipeline "
                         "(smoke tests; reference runs native 480p/720p)")
+    p.add_argument("--fused", action="store_true",
+                   help="compile the whole denoise loop as one jit program")
+    p.add_argument("--streaming-vae", action="store_true",
+                   help="scan-streaming VAE (bounded memory at 480p+)")
     return p
 
 
@@ -103,6 +107,8 @@ def main(argv=None) -> None:
     from worldforge_tpu.io.checkpoints import load_wan_pipeline
     pipe, encode_text, encode_image = load_wan_pipeline(
         args.models_dir, variant=args.model, random_init=args.random_init)
+    if args.streaming_vae:
+        pipe.streaming_vae = True
 
     prompt_embeds = encode_text(prompt)
     negative_embeds = encode_text(negative)
@@ -125,7 +131,7 @@ def main(argv=None) -> None:
         guidance_scale=args.guidance_scale,
         video_ref=jnp.asarray(video.transpose(3, 0, 1, 2)[None]),
         mask=jnp.asarray(mask[None, None]),
-        guidance=guidance)
+        guidance=guidance, fused=args.fused)
 
     frames_out = [out[0].transpose(1, 2, 3, 0)[i] for i in range(out.shape[2])]
     export_video(frames_out, args.output, fps=16)
