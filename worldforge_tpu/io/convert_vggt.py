@@ -63,12 +63,14 @@ def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
         "backbone": backbone,
         "camera_token": jnp.asarray(sd[f"{agg}.camera_token"], dtype),
         "register_token": jnp.asarray(sd[f"{agg}.register_token"], dtype),
-        "frame_blocks": [_vit_block(sd, f"{agg}.frame_blocks.{i}", dtype,
-                                    qk_norm=True)
-                         for i in range(cfg.depth)],
-        "global_blocks": [_vit_block(sd, f"{agg}.global_blocks.{i}", dtype,
-                                     qk_norm=True)
-                          for i in range(cfg.depth)],
+        "frame_blocks": jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[_vit_block(sd, f"{agg}.frame_blocks.{i}", dtype, qk_norm=True)
+              for i in range(cfg.depth)]),
+        "global_blocks": jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[_vit_block(sd, f"{agg}.global_blocks.{i}", dtype, qk_norm=True)
+              for i in range(cfg.depth)]),
     }
 
     ch = "camera_head"

@@ -115,6 +115,8 @@ def init_vggt_aggregator(key, cfg: VGGTConfig, dtype=jnp.float32) -> dict:
         global_blocks.append(_vit_block_init(
             ks[2 * i + 1], cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
             cfg.layerscale_init, dtype, qk_norm=True))
+    stack = lambda blocks: jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *blocks)
     return {
         "backbone": init_dino_vit(ks[-1], cfg.backbone, dtype),
         "camera_token": (1e-6 * jax.random.normal(
@@ -122,8 +124,8 @@ def init_vggt_aggregator(key, cfg: VGGTConfig, dtype=jnp.float32) -> dict:
         "register_token": (1e-6 * jax.random.normal(
             ks[-3], (1, 2, cfg.num_register_tokens, cfg.embed_dim))
         ).astype(dtype),
-        "frame_blocks": frame_blocks,
-        "global_blocks": global_blocks,
+        "frame_blocks": stack(frame_blocks),
+        "global_blocks": stack(global_blocks),
     }
 
 
@@ -162,22 +164,40 @@ def vggt_aggregator_forward(params, cfg: VGGTConfig, images: jnp.ndarray,
 
     pos = make_positions(gh, gw, cfg.patch_start_idx)
     rope_fn = lambda t: rope2d_rotate(t, pos, cfg.rope_freq)
+    pos_g = np.tile(pos, (s, 1))
+    rope_g = lambda t: rope2d_rotate(t, pos_g, cfg.rope_freq)
 
-    outputs: Dict[int, jnp.ndarray] = {}
-    for i in range(cfg.depth):
-        tokens = vit_block_forward(params["frame_blocks"][i], tokens,
-                                   cfg.num_heads, eps=cfg.eps,
+    def dual_block(tokens, layer):
+        fb, gb = layer
+        tokens = vit_block_forward(fb, tokens, cfg.num_heads, eps=cfg.eps,
                                    rope_fn=rope_fn, qk_norm=True)
         frame_out = tokens
         glob = tokens.reshape(b, s * p_tok, c)
-        pos_g = np.tile(pos, (s, 1))
-        rope_g = lambda t: rope2d_rotate(t, pos_g, cfg.rope_freq)
-        glob = vit_block_forward(params["global_blocks"][i], glob,
-                                 cfg.num_heads, eps=cfg.eps,
+        glob = vit_block_forward(gb, glob, cfg.num_heads, eps=cfg.eps,
                                  rope_fn=rope_g, qk_norm=True)
-        tokens = glob.reshape(b * s, p_tok, c)
-        if i in taps:
-            outputs[i] = jnp.concatenate(
-                [frame_out.reshape(b, s, p_tok, c),
-                 tokens.reshape(b, s, p_tok, c)], axis=-1)
+        return glob.reshape(b * s, p_tok, c), frame_out
+
+    # segmented scan: one compiled dual-block body; each segment ends at a
+    # tap so only the tapped layers' outputs materialize (not all 24 —
+    # SURVEY §7 hard part 6)
+    stacked = (params["frame_blocks"], params["global_blocks"])
+    outputs: Dict[int, jnp.ndarray] = {}
+    tap_list = sorted(taps)
+    start = 0
+    for tap in tap_list:
+        seg = jax.tree_util.tree_map(lambda p: p[start:tap + 1], stacked)
+
+        def body(carry, layer):
+            out, frame_out = dual_block(carry, layer)
+            return out, None
+
+        if tap > start:
+            head = jax.tree_util.tree_map(lambda p: p[: tap - start], seg)
+            tokens, _ = jax.lax.scan(body, tokens, head)
+        last = jax.tree_util.tree_map(lambda p: p[tap - start], seg)
+        tokens, frame_out = dual_block(tokens, last)
+        outputs[tap] = jnp.concatenate(
+            [frame_out.reshape(b, s, p_tok, c),
+             tokens.reshape(b, s, p_tok, c)], axis=-1)
+        start = tap + 1
     return outputs
