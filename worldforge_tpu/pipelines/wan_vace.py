@@ -45,9 +45,14 @@ def encode_vace_masks(masks: jnp.ndarray, vae_stride=(4, 8, 8)
 
 
 def prepare_vace_context(frames: jnp.ndarray, masks: Optional[jnp.ndarray],
-                         vae_params, vae_cfg: WanVAEConfig) -> jnp.ndarray:
-    """frames [B,3,T,H,W] in [-1,1]; masks [B,1,T,H,W] ->
-    vace_context [B, 96, T', H', W'] (vace.py:139-210)."""
+                         vae_params, vae_cfg: WanVAEConfig,
+                         ref_images: Optional[list] = None) -> jnp.ndarray:
+    """frames [B,3,T,H,W] in [-1,1]; masks [B,1,T,H,W]; optional
+    ref_images (list of [B,3,1,H,W]) -> vace_context [B, 96, T', H', W']
+    (vace.py:139-210). Ref images are encoded as single-latent-frame
+    prefixes: inactive half = ref latent, reactive half = zeros
+    (vace.py:158-172), mask channels zero over the ref frames
+    (vace.py:203-206)."""
     if masks is None:
         masks = jnp.ones(frames.shape[:1] + (1,) + frames.shape[2:],
                          frames.dtype)
@@ -56,9 +61,17 @@ def prepare_vace_context(frames: jnp.ndarray, masks: Optional[jnp.ndarray],
     reactive = vae_encode(vae_params, vae_cfg, frames * m)
     mask_enc = encode_vace_masks(m)
     t_lat = inactive.shape[2]
-    mask_enc = mask_enc[:, :, :t_lat]
-    return jnp.concatenate([inactive, reactive,
-                            mask_enc.astype(inactive.dtype)], axis=1)
+    mask_enc = mask_enc[:, :, :t_lat].astype(inactive.dtype)
+    if ref_images:
+        ref_lats = [vae_encode(vae_params, vae_cfg, r) for r in ref_images]
+        ref = jnp.concatenate(ref_lats, axis=2)        # [B, z, R, h, w]
+        inactive = jnp.concatenate([ref, inactive], axis=2)
+        zpad = jnp.zeros_like(ref)
+        reactive = jnp.concatenate([zpad, reactive], axis=2)
+        mpad = jnp.zeros(mask_enc.shape[:2] + (ref.shape[2],)
+                         + mask_enc.shape[3:], mask_enc.dtype)
+        mask_enc = jnp.concatenate([mpad, mask_enc], axis=2)
+    return jnp.concatenate([inactive, reactive, mask_enc], axis=1)
 
 
 @dataclasses.dataclass(eq=False)
