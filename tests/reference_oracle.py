@@ -121,6 +121,14 @@ def _install_stubs():
         schedulers = types.ModuleType("diffusers.schedulers")
         schedulers.scheduling_utils = su
 
+        tu = types.ModuleType("diffusers.utils.torch_utils")
+
+        def randn_tensor(shape, generator=None, device=None, dtype=None):
+            return torch.randn(shape, generator=generator, dtype=dtype)
+
+        tu.randn_tensor = randn_tensor
+        du.torch_utils = tu
+
         diff.configuration_utils = cu
         diff.models = models
         diff.utils = du
@@ -130,6 +138,7 @@ def _install_stubs():
         sys.modules["diffusers.models"] = models
         sys.modules["diffusers.models.modeling_utils"] = mu
         sys.modules["diffusers.utils"] = du
+        sys.modules["diffusers.utils.torch_utils"] = tu
         sys.modules["diffusers.schedulers"] = schedulers
         sys.modules["diffusers.schedulers.scheduling_utils"] = su
 
@@ -212,6 +221,25 @@ def import_wan_scheduler():
     pkg.__wan_ref__ = True
     sys.modules["utils"] = pkg
     return importlib.import_module("utils.scheduling_unipc_multistep_clean")
+
+
+def import_fm_solvers():
+    """Import the reference vendored flow DPM-Solver module (torch CPU):
+    wan/utils/fm_solvers.py."""
+    _patch_cuda_autocast()
+    _install_stubs()
+    base = "/root/reference/wan_for_worldforge"
+    if base not in sys.path:
+        sys.path.insert(0, base)
+    import importlib
+
+    for name, path in (("wan", f"{base}/wan"),
+                       ("wan.utils", f"{base}/wan/utils")):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    return importlib.import_module("wan.utils.fm_solvers")
 
 
 def import_longcat_scheduler():
