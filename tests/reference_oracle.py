@@ -223,6 +223,26 @@ def import_wan_scheduler():
     return importlib.import_module("utils.scheduling_unipc_multistep_clean")
 
 
+def import_vggt_track():
+    """Import the reference CoTracker-style track predictor (torch CPU):
+    vggt/vggt/heads/track_modules/base_track_predictor.py."""
+    base = "/root/reference/vggt"
+    if base not in sys.path:
+        sys.path.insert(0, base)
+    import importlib
+
+    for name, path in (
+            ("vggt", f"{base}/vggt"),
+            ("vggt.heads", f"{base}/vggt/heads"),
+            ("vggt.heads.track_modules", f"{base}/vggt/heads/track_modules")):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    return importlib.import_module(
+        "vggt.heads.track_modules.base_track_predictor")
+
+
 def import_fm_solvers():
     """Import the reference vendored flow DPM-Solver module (torch CPU):
     wan/utils/fm_solvers.py."""

@@ -86,7 +86,73 @@ def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
         "branch_fc2": _dense(sd, f"{ch}.pose_branch.fc2", dtype),
     }
 
-    dh = "depth_head"
+    out = {"aggregator": aggregator, "camera_head": camera,
+           "depth_head": _convert_dpt(sd, "depth_head", dtype)}
+    if "track_head.tracker.fmap_norm.weight" in sd:
+        out["track_head"] = convert_track_head(sd, dtype=dtype)
+    return out
+
+
+def _mha(sd, name, dtype):
+    """torch nn.MultiheadAttention -> fused in-proj + out-proj."""
+    return {"in_proj": {"w": jnp.asarray(sd[f"{name}.in_proj_weight"].T,
+                                         dtype),
+                        "b": jnp.asarray(sd[f"{name}.in_proj_bias"], dtype)},
+            "out_proj": _dense(sd, f"{name}.out_proj", dtype)}
+
+
+def _attn_block_p(sd, prefix, dtype, attn="attn"):
+    p = {"norm1": _ln(sd, f"{prefix}.norm1", dtype),
+         "norm2": _ln(sd, f"{prefix}.norm2", dtype),
+         "attn": _mha(sd, f"{prefix}.{attn}", dtype),
+         "mlp": {"fc1": _dense(sd, f"{prefix}.mlp.fc1", dtype),
+                 "fc2": _dense(sd, f"{prefix}.mlp.fc2", dtype)}}
+    if f"{prefix}.norm_context.weight" in sd:
+        p["norm_ctx"] = _ln(sd, f"{prefix}.norm_context", dtype)
+    return p
+
+
+def convert_track_predictor(sd: Dict[str, np.ndarray], depth: int,
+                            prefix: str = "", dtype=jnp.float32) -> dict:
+    """BaseTrackerPredictor weights (track_modules/base_track_predictor.py
+    :17-80) -> models/vggt/track.py pytree. `prefix` e.g.
+    'track_head.tracker.'."""
+    uf = f"{prefix}updateformer"
+    return {
+        "corr_mlp": {"fc1": _dense(sd, f"{prefix}corr_mlp.fc1", dtype),
+                     "fc2": _dense(sd, f"{prefix}corr_mlp.fc2", dtype)},
+        "query_ref_token": jnp.asarray(sd[f"{prefix}query_ref_token"], dtype),
+        "updateformer": {
+            "input_norm": _ln(sd, f"{uf}.input_norm", dtype),
+            "input_transform": _dense(sd, f"{uf}.input_transform", dtype),
+            "virtual": jnp.asarray(sd[f"{uf}.virual_tracks"], dtype),  # (sic)
+            "time_blocks": [
+                _attn_block_p(sd, f"{uf}.time_blocks.{i}", dtype)
+                for i in range(depth)],
+            "space_virtual": [
+                _attn_block_p(sd, f"{uf}.space_virtual_blocks.{i}", dtype)
+                for i in range(depth)],
+            "v2p": [_attn_block_p(sd, f"{uf}.space_virtual2point_blocks.{i}",
+                                  dtype, attn="cross_attn")
+                    for i in range(depth)],
+            "p2v": [_attn_block_p(sd, f"{uf}.space_point2virtual_blocks.{i}",
+                                  dtype, attn="cross_attn")
+                    for i in range(depth)],
+            "output_norm": _ln(sd, f"{uf}.output_norm", dtype),
+            "flow_head": _dense(sd, f"{uf}.flow_head", dtype),
+        },
+        "fmap_norm": _ln(sd, f"{prefix}fmap_norm", dtype),
+        "ffeat_norm": _ln(sd, f"{prefix}ffeat_norm", dtype),
+        "ffeat_updater": _dense(sd, f"{prefix}ffeat_updater.0", dtype),
+        "vis_predictor": _dense(sd, f"{prefix}vis_predictor.0", dtype),
+        "conf_predictor": _dense(sd, f"{prefix}conf_predictor.0", dtype),
+    }
+
+
+def _convert_dpt(sd: Dict[str, np.ndarray], prefix: str, dtype,
+                 feature_only: bool = False) -> dict:
+    """Shared DPT-head weight mapping (also used for the track feature
+    extractor, which is feature_only and lacks output_conv2)."""
 
     def cv(name, bias=True):
         p = {"w": jnp.asarray(conv_to_hwio(sd[f"{name}.weight"]), dtype)}
@@ -98,27 +164,27 @@ def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
         return {"w": jnp.asarray(deconv_to_hwio(sd[f"{name}.weight"]), dtype),
                 "b": jnp.asarray(sd[f"{name}.bias"], dtype)}
 
-    depth = {
-        "norm": _ln(sd, f"{dh}.norm", dtype),
-        "projects": [cv(f"{dh}.projects.{i}") for i in range(4)],
-        "resize0": dcv(f"{dh}.resize_layers.0"),
-        "resize1": dcv(f"{dh}.resize_layers.1"),
-        "resize3": cv(f"{dh}.resize_layers.3"),
-        "layer_rn": [cv(f"{dh}.scratch.layer{i}_rn", bias=False)
+    head = {
+        "norm": _ln(sd, f"{prefix}.norm", dtype),
+        "projects": [cv(f"{prefix}.projects.{i}") for i in range(4)],
+        "resize0": dcv(f"{prefix}.resize_layers.0"),
+        "resize1": dcv(f"{prefix}.resize_layers.1"),
+        "resize3": cv(f"{prefix}.resize_layers.3"),
+        "layer_rn": [cv(f"{prefix}.scratch.layer{i}_rn", bias=False)
                      for i in (1, 2, 3, 4)],
-        "out_conv1": cv(f"{dh}.scratch.output_conv1"),
-        "out_conv2a": cv(f"{dh}.scratch.output_conv2.0"),
-        "out_conv2b": cv(f"{dh}.scratch.output_conv2.2"),
+        "out_conv1": cv(f"{prefix}.scratch.output_conv1"),
     }
+    if not feature_only:
+        head["out_conv2a"] = cv(f"{prefix}.scratch.output_conv2.0")
+        head["out_conv2b"] = cv(f"{prefix}.scratch.output_conv2.2")
     for i in range(1, 5):
-        rn = f"{dh}.scratch.refinenet{i}"
+        rn = f"{prefix}.scratch.refinenet{i}"
         rcu = {}
         if f"{rn}.resConfUnit1.conv1.weight" in sd:
             rcu["rcu1_conv1"] = cv(f"{rn}.resConfUnit1.conv1")
             rcu["rcu1_conv2"] = cv(f"{rn}.resConfUnit1.conv2")
         else:  # refinenet4 has no residual unit 1
-            import jax.numpy as _j
-            f = depth["layer_rn"][0]["w"].shape[-1]
+            f = head["layer_rn"][0]["w"].shape[-1]
             rcu["rcu1_conv1"] = {"w": jnp.zeros((3, 3, f, f), dtype),
                                  "b": jnp.zeros((f,), dtype)}
             rcu["rcu1_conv2"] = {"w": jnp.zeros((3, 3, f, f), dtype),
@@ -126,10 +192,21 @@ def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
         rcu["rcu2_conv1"] = cv(f"{rn}.resConfUnit2.conv1")
         rcu["rcu2_conv2"] = cv(f"{rn}.resConfUnit2.conv2")
         rcu["out"] = cv(f"{rn}.out_conv")
-        depth[f"refine{i}"] = rcu
+        head[f"refine{i}"] = rcu
+    return head
 
-    return {"aggregator": aggregator, "camera_head": camera,
-            "depth_head": depth}
+
+def convert_track_head(sd: Dict[str, np.ndarray], depth: int = 6,
+                       dtype=jnp.float32) -> dict:
+    """Full track head (track_head.py:12-69): DPT feature extractor +
+    BaseTrackerPredictor."""
+    return {
+        "feature_extractor": _convert_dpt(sd, "track_head.feature_extractor",
+                                          dtype, feature_only=True),
+        "tracker": convert_track_predictor(sd, depth,
+                                           prefix="track_head.tracker.",
+                                           dtype=dtype),
+    }
 
 
 def load_converted_vggt(path: str, cfg: VGGTConfig) -> dict:

@@ -94,6 +94,8 @@ class DPTHeadConfig:
     features: int = 256
     out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
     pos_embed: bool = True
+    feature_only: bool = False     # dpt_head.py:101-103 (track feature mode)
+    down_ratio: int = 1            # dpt_head.py:231-236
 
     @classmethod
     def tiny(cls, dim_in=64) -> "DPTHeadConfig":
@@ -139,10 +141,15 @@ def init_dpt_head(key, cfg: DPTHeadConfig, dtype=jnp.float32) -> dict:
         "resize3": _conv2d_init(next(ks), oc[3], oc[3], 3, dtype),
         "layer_rn": [_conv2d_init(next(ks), o, f, 3, dtype, bias=False)
                      for o in oc],
-        "out_conv1": _conv2d_init(next(ks), f, f // 2, 3, dtype),
-        "out_conv2a": _conv2d_init(next(ks), f // 2, 32, 3, dtype),
-        "out_conv2b": _conv2d_init(next(ks), 32, cfg.output_dim, 1, dtype),
+        # feature_only keeps full width and drops the activation head
+        # (dpt_head.py:101-110)
+        "out_conv1": _conv2d_init(next(ks), f,
+                                  f if cfg.feature_only else f // 2, 3,
+                                  dtype),
     }
+    if not cfg.feature_only:
+        p["out_conv2a"] = _conv2d_init(next(ks), f // 2, 32, 3, dtype)
+        p["out_conv2b"] = _conv2d_init(next(ks), 32, cfg.output_dim, 1, dtype)
     for i in range(1, 5):
         rcu = {}
         for j in (1, 2):
@@ -231,9 +238,12 @@ def dpt_head_forward(params, cfg: DPTHeadConfig,
     out = _fusion(params["refine1"], out, rn[0],
                   (rn[0].shape[1] * 2, rn[0].shape[2] * 2))
     out = _conv2d(params["out_conv1"], out)
-    out = _resize_bilinear(out, gh * ps, gw * ps)
+    oh, ow = gh * ps // cfg.down_ratio, gw * ps // cfg.down_ratio
+    out = _resize_bilinear(out, oh, ow)
     if cfg.pos_embed:
-        out = out + _uv_pos_embed(gh * ps, gw * ps, W / H, out.shape[3])
+        out = out + _uv_pos_embed(oh, ow, W / H, out.shape[3])
+    if cfg.feature_only:
+        return out.reshape(b, s, oh, ow, -1)   # dpt_head.py:239-240
     out = _conv2d(params["out_conv2b"],
                   jax.nn.relu(_conv2d(params["out_conv2a"], out)))
 
@@ -246,6 +256,6 @@ def dpt_head_forward(params, cfg: DPTHeadConfig,
         conf = 1.0 + jnp.exp(conf)
     elif cfg.conf_activation == "expp0":
         conf = jnp.exp(conf)
-    vals = vals.reshape(b, s, gh * ps, gw * ps, -1)
-    conf = conf.reshape(b, s, gh * ps, gw * ps)
+    vals = vals.reshape(b, s, oh, ow, -1)
+    conf = conf.reshape(b, s, oh, ow)
     return vals, conf
