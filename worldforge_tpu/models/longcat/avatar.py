@@ -1,0 +1,312 @@
+"""LongCat avatar DiT: audio-conditioned talking-head variant.
+
+Behavioral reference: longcat_video/modules/avatar/:
+  - longcat_video_dit_avatar.py:24-192 (LongCatAvatarSingleStreamBlock:
+    base LongCat block + audio cross-attn with its own 3-way adaLN
+    modulation over NOISE frames only; cond frames receive zero audio)
+  - longcat_video_dit_avatar.py:373-513 (audio window regrouping: frame 0
+    keeps its full 5-sample window; each latent frame (vae_scale=4 video
+    frames) packs [first-half of frame a, middles, last-half of frame d]
+    into an 8-sample window)
+  - blocks.py:8-88 (AudioProjModel: flattened window x 12 wav2vec blocks
+    x 768 -> relu MLP -> 32 context tokens of 768)
+  - attention.py:281-460 (SingleStreamAttention: PER-FRAME cross
+    attention — each latent frame's tokens attend to that frame's 32
+    audio tokens; qk RMSNorm)
+
+Scope: singletalk (human_num=None). The multitalk two-speaker path
+(attention-map-driven 1D RoPE partitioning, attention.py:343-386) is a
+documented round-2 item.
+
+TPU-first: per-frame audio cross-attention maps to a single batched SDPA
+with the frame axis folded into batch — no varlen packing needed since
+every frame has exactly context_tokens keys. Blocks are stacked and
+scanned like the base model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from worldforge_tpu.core import params as P
+from worldforge_tpu.core.dtypes import DEFAULT_POLICY, Policy
+from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig, _heads_hd,
+                                               _modulate_per_frame, _rms_hd,
+                                               _cross_attention_lc,
+                                               _self_attention_lc,
+                                               init_longcat_layer,
+                                               timestep_embedding)
+from worldforge_tpu.ops.attention import attention
+from worldforge_tpu.ops.rope import rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class AvatarConfig:
+    base: LongCatDiTConfig = dataclasses.field(
+        default_factory=LongCatDiTConfig)
+    audio_window: int = 5
+    audio_blocks: int = 12          # stacked wav2vec2 encoder layers
+    audio_channels: int = 768
+    intermediate_dim: int = 512
+    output_dim: int = 768
+    context_tokens: int = 32
+    vae_scale: int = 4
+    audio_prenorm: bool = False
+
+    @property
+    def window_vf(self) -> int:
+        return self.audio_window + self.vae_scale - 1
+
+    @classmethod
+    def tiny(cls) -> "AvatarConfig":
+        return cls(base=LongCatDiTConfig.tiny(), audio_blocks=2,
+                   audio_channels=8, intermediate_dim=16, output_dim=8,
+                   context_tokens=4)
+
+
+# ----------------------------------------------------------- audio proj
+
+
+def init_audio_proj(key, cfg: AvatarConfig, dtype=jnp.float32) -> dict:
+    ks = P.split_keys(key, 4)
+    in_dim = cfg.audio_window * cfg.audio_blocks * cfg.audio_channels
+    in_dim_vf = cfg.window_vf * cfg.audio_blocks * cfg.audio_channels
+    return {
+        "proj1": P.dense_init(ks[0], in_dim, cfg.intermediate_dim,
+                              dtype=dtype),
+        "proj1_vf": P.dense_init(ks[1], in_dim_vf, cfg.intermediate_dim,
+                                 dtype=dtype),
+        "proj2": P.dense_init(ks[2], cfg.intermediate_dim,
+                              cfg.intermediate_dim, dtype=dtype),
+        "proj3": P.dense_init(ks[3], cfg.intermediate_dim,
+                              cfg.context_tokens * cfg.output_dim,
+                              dtype=dtype),
+        "norm": P.layer_norm_init(cfg.output_dim, dtype=dtype),
+    }
+
+
+def audio_proj_forward(p, cfg: AvatarConfig, first: jnp.ndarray,
+                       latter: jnp.ndarray) -> jnp.ndarray:
+    """first [B, 1, W, S, C]; latter [B, T-1, W+vs-1, S, C] ->
+    [B, T, context_tokens, output_dim] (blocks.py:41-88)."""
+    b = first.shape[0]
+    f = jax.nn.relu(P.dense(p["proj1"], first.reshape(b, 1, -1)))
+    lf = jax.nn.relu(P.dense(p["proj1_vf"],
+                             latter.reshape(b, latter.shape[1], -1)))
+    x = jnp.concatenate([f, lf], axis=1)                  # [B, T, inter]
+    x = jax.nn.relu(P.dense(p["proj2"], x))
+    tok = P.dense(p["proj3"], x).reshape(
+        b, x.shape[1], cfg.context_tokens, cfg.output_dim)
+    return P.layer_norm(p["norm"], tok, eps=1e-5)
+
+
+def regroup_audio_windows(cfg: AvatarConfig,
+                          audio_cond: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """audio_cond [B, T_video, W, S, C] (per-video-frame sliding windows of
+    W=5 wav2vec features x S=12 blocks) -> (first [B,1,W,S,C],
+    latter [B,(T_video-1)//vae_scale, W+vs-1, S, C]) — the avatar model's
+    window regrouping (longcat_video_dit_avatar.py:413-428): per latent
+    frame of vae_scale video frames keep [first half of frame a | middle
+    samples | last half of frame d]."""
+    first = audio_cond[:, :1]
+    latter = audio_cond[:, 1:]
+    b, tm1, w, s, c = latter.shape
+    vs = cfg.vae_scale
+    mid = cfg.audio_window // 2
+    lat = latter.reshape(b, tm1 // vs, vs, w, s, c)
+    head = lat[:, :, :1, :mid + 1].reshape(b, tm1 // vs, -1, s, c)
+    tail = lat[:, :, -1:, mid:].reshape(b, tm1 // vs, -1, s, c)
+    midp = lat[:, :, 1:-1, mid:mid + 1].reshape(b, tm1 // vs, -1, s, c)
+    return first, jnp.concatenate([head, midp, tail], axis=2)
+
+
+# -------------------------------------------------------------- block
+
+
+def init_avatar_layer(key, cfg: AvatarConfig, dtype=jnp.float32) -> dict:
+    kb, k1, k2, k3, k4 = jax.random.split(key, 5)
+    c = cfg.base.hidden_size
+    hd = cfg.base.head_dim
+    p = init_longcat_layer(kb, cfg.base, dtype)
+    p.update({
+        "audio_adaln": P.dense_init(k1, cfg.base.adaln_tembed_dim, 3 * c,
+                                    dtype=jnp.float32),
+        "pre_video_norm": P.layer_norm_init(c, dtype=dtype),
+        "pre_audio_norm": P.layer_norm_init(cfg.output_dim, dtype=dtype),
+        "a_q": P.dense_init(k2, c, c, dtype=dtype),
+        "a_kv": P.dense_init(k3, cfg.output_dim, 2 * c, dtype=dtype),
+        "a_q_norm": P.rms_norm_init(hd, dtype=jnp.float32),
+        "a_k_norm": P.rms_norm_init(hd, dtype=jnp.float32),
+        "a_proj": P.dense_init(k4, c, c, dtype=dtype),
+    })
+    return p
+
+
+def _audio_cross_attention(p, cfg: AvatarConfig, x_noise: jnp.ndarray,
+                           audio: jnp.ndarray, t_noise: int,
+                           policy: Policy, attn_impl: str) -> jnp.ndarray:
+    """Per-frame cross attention (attention.py:329-440, singletalk).
+    x_noise [B, T_n*S_f, C]; audio [B, T_n, M, C_a]."""
+    b, n, c = x_noise.shape
+    cdt = policy.compute_dtype
+    h = cfg.base.num_heads
+    sf = n // t_noise
+    xq = x_noise.reshape(b * t_noise, sf, c)
+    q = _rms_hd(p["a_q_norm"],
+                _heads_hd(P.dense(p["a_q"], xq.astype(cdt)), h),
+                cfg.base.eps).astype(cdt)
+    cond = audio.reshape(b * t_noise, audio.shape[2], -1)
+    kv = P.dense(p["a_kv"], cond.astype(cdt))
+    k, v = jnp.split(kv, 2, axis=-1)
+    k = _rms_hd(p["a_k_norm"], _heads_hd(k, h), cfg.base.eps).astype(cdt)
+    v = _heads_hd(v, h)
+    o = attention(q, k, v, impl=attn_impl)
+    o = P.dense(p["a_proj"], o.reshape(b * t_noise, sf, c).astype(cdt))
+    return o.reshape(b, n, c)
+
+
+def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
+                         audio, cos, sin, T: int, num_cond_latents: int = 0,
+                         policy: Policy = DEFAULT_POLICY,
+                         attn_impl: str = "auto"):
+    """Base LongCat block with the audio cross-attn branch inserted between
+    text cross-attn and FFN (longcat_video_dit_avatar.py:98-192).
+    audio: [B, T, M, C_a] per-latent-frame context tokens."""
+    base = cfg.base
+    b, n, c = x.shape
+    mod = P.dense(p["adaln"], jax.nn.silu(t_emb.astype(jnp.float32)),
+                  compute_dtype=jnp.float32)
+    sh_a, sc_a, g_a, sh_f, sc_f, g_f = jnp.split(mod, 6, axis=-1)
+
+    xf = x.astype(jnp.float32)
+    x_m = _modulate_per_frame(xf, sh_a, sc_a, T, base.eps)
+    y = _self_attention_lc(p, base, x_m.astype(policy.compute_dtype), cos,
+                           sin, T, num_cond_latents, policy, attn_impl)
+    yf = y.astype(jnp.float32).reshape(b, T, n // T, c)
+    xf = xf + (g_a[:, :, None] * yf).reshape(b, n, c)
+
+    # text cross-attn
+    h2 = P.layer_norm(p["pre_crs_norm"], xf, eps=base.eps,
+                      out_dtype=policy.compute_dtype)
+    xf = xf + _cross_attention_lc(p, base, h2, ctx, kv_lens, T,
+                                  num_cond_latents, policy,
+                                  attn_impl).astype(jnp.float32)
+
+    # audio cross-attn over noise frames with its own modulation
+    # (longcat_video_dit_avatar.py:160-178)
+    nc = num_cond_latents * (n // T) if num_cond_latents else 0
+    t_noise = T - num_cond_latents
+    amod = P.dense(p["audio_adaln"],
+                   jax.nn.silu(t_emb[:, num_cond_latents:]
+                               .astype(jnp.float32)),
+                   compute_dtype=jnp.float32)
+    a_sh, a_sc, a_g = jnp.split(amod, 3, axis=-1)        # [B, T_n, C]
+    xv = P.layer_norm(p["pre_video_norm"], xf[:, nc:], eps=base.eps,
+                      out_dtype=policy.compute_dtype)
+    audio_n = audio[:, num_cond_latents:]
+    if cfg.audio_prenorm:
+        audio_n = P.layer_norm(p["pre_audio_norm"], audio_n, eps=base.eps)
+    a_out = _audio_cross_attention(p, cfg, xv, audio_n, t_noise, policy,
+                                   attn_impl).astype(jnp.float32)
+    a_out = _modulate_per_frame(a_out, a_sh, a_sc, t_noise, base.eps)
+    a_out = (a_g[:, :, None] * a_out.reshape(b, t_noise, -1, c)
+             ).reshape(b, n - nc, c)
+    if nc:
+        a_out = jnp.concatenate(
+            [jnp.zeros((b, nc, c), a_out.dtype), a_out], axis=1)
+    xf = xf + a_out
+
+    # FFN
+    x_m = _modulate_per_frame(xf, sh_f, sc_f, T, base.eps).astype(
+        policy.compute_dtype)
+    ff = P.dense(p["w2"], jax.nn.silu(P.dense(p["w1"], x_m))
+                 * P.dense(p["w3"], x_m))
+    ff = ff.astype(jnp.float32).reshape(b, T, n // T, c)
+    return xf + (g_f[:, :, None] * ff).reshape(b, n, c)
+
+
+# -------------------------------------------------------------- model
+
+
+def init_avatar_dit(key, cfg: AvatarConfig, dtype=jnp.bfloat16) -> dict:
+    from worldforge_tpu.models.longcat.dit import init_longcat_dit
+
+    kb, ka, kl = jax.random.split(key, 3)
+    params = init_longcat_dit(kb, cfg.base, dtype)
+    layers = [init_avatar_layer(k, cfg, dtype)
+              for k in P.split_keys(kl, cfg.base.depth)]
+    params["blocks"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                              *layers)
+    params["audio_proj"] = init_audio_proj(ka, cfg, jnp.float32)
+    return params
+
+
+def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
+                       encoder_hidden_states, audio_embs,
+                       encoder_attention_mask=None,
+                       num_cond_latents: int = 0,
+                       num_ref_latents: Optional[int] = None,
+                       policy: Policy = DEFAULT_POLICY,
+                       attn_impl: str = "auto"):
+    """hidden_states [B, C_in, T, H, W]; audio_embs [B, T_video, W, S, C_a]
+    per-video-frame wav2vec windows. Returns [B, C_out, T, H, W] fp32
+    (longcat_video_dit_avatar.py:373-513)."""
+    from worldforge_tpu.models.wan.dit import patchify, unpatchify
+
+    b, _, T, H, W = hidden_states.shape
+    pt, ph, pw = cfg.base.patch_size
+    nt, nh, nw = T // pt, H // ph, W // pw
+    base = cfg.base
+
+    if timestep.ndim == 1:
+        timestep = jnp.broadcast_to(timestep[:, None], (b, nt))
+
+    x = P.dense(params["x_embedder"],
+                patchify(hidden_states.astype(policy.compute_dtype),
+                         base.patch_size))
+
+    te = timestep_embedding(timestep.reshape(-1),
+                            base.frequency_embedding_size)
+    te = P.dense(params["t_embedder"]["fc1"], te, compute_dtype=jnp.float32)
+    te = P.dense(params["t_embedder"]["fc2"], jax.nn.silu(te),
+                 compute_dtype=jnp.float32)
+    t_emb = te.reshape(b, nt, base.adaln_tembed_dim)
+
+    ctx = P.dense(params["y_embedder"]["fc2"], P.gelu_tanh(
+        P.dense(params["y_embedder"]["fc1"],
+                encoder_hidden_states.astype(policy.compute_dtype))))
+    kv_lens = (encoder_attention_mask.sum(axis=1).astype(jnp.int32)
+               if encoder_attention_mask is not None else None)
+
+    first, latter = regroup_audio_windows(cfg, audio_embs)
+    audio = audio_proj_forward(params["audio_proj"], cfg, first, latter)
+    if num_ref_latents:
+        # a ref image at the front reuses frame 0's audio as padding
+        # (longcat_video_dit_avatar.py:431-433)
+        audio = jnp.concatenate([audio[:, :1], audio], axis=1)
+    audio = audio[:, -nt:]
+
+    cos, sin = rope_cos_sin(nt, nh, nw, base.head_dim)
+
+    def body(carry, layer):
+        out = avatar_layer_forward(layer, cfg, carry, t_emb, ctx, kv_lens,
+                                   audio, cos, sin, nt, num_cond_latents,
+                                   policy, attn_impl)
+        return out, None
+
+    xN, _ = jax.lax.scan(body, x.astype(jnp.float32), params["blocks"])
+
+    fmod = P.dense(params["final"]["adaln"],
+                   jax.nn.silu(t_emb.astype(jnp.float32)),
+                   compute_dtype=jnp.float32)
+    sh, sc = jnp.split(fmod, 2, axis=-1)
+    xN = _modulate_per_frame(xN, sh, sc, nt, base.eps)
+    out = P.dense(params["final"]["linear"], xN, compute_dtype=jnp.float32)
+    return unpatchify(out, (nt, nh, nw), base.patch_size,
+                      base.out_channels).astype(jnp.float32)
