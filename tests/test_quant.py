@@ -1,0 +1,60 @@
+"""int8 dynamic-quant dense path (serving mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worldforge_tpu.core import params as P
+from worldforge_tpu.ops.quant import (dense_q8, is_quantized, quantize_dense,
+                                      quantize_tree)
+
+
+def test_dense_q8_close_to_fp(rng):
+    k = jax.random.key(0)
+    p = P.dense_init(k, 256, 512)
+    x = jnp.asarray(rng.standard_normal((4, 64, 256)), jnp.float32)
+    ref = np.asarray(P.dense(p, x))
+    got = np.asarray(dense_q8(quantize_dense(p), x))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert rel < 0.03, rel
+
+
+def test_dense_dispatches_on_w8(rng):
+    p = P.dense_init(jax.random.key(1), 32, 16)
+    q = quantize_dense(p)
+    assert is_quantized(q) and not is_quantized(p)
+    x = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(P.dense(q, x)),
+                               np.asarray(dense_q8(q, x)), rtol=1e-6)
+
+
+def test_quantize_tree_selective(rng):
+    tree = {"qkv": P.dense_init(jax.random.key(0), 64, 192),
+            "adaln": P.dense_init(jax.random.key(1), 32, 384),
+            "q_norm": {"scale": jnp.ones((32,))}}
+    qt = quantize_tree(tree)
+    assert is_quantized(qt["qkv"])
+    assert not is_quantized(qt["adaln"])          # modulation stays fp
+    assert "scale" in qt["q_norm"]                # norms untouched
+
+
+def test_quantized_wan_layer_forward(rng):
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
+                                               wan_dit_forward)
+
+    cfg = WanDiTConfig(model_type="t2v", in_dim=4, out_dim=4, dim=64,
+                       ffn_dim=128, num_heads=2, num_layers=2, text_len=8,
+                       text_dim=32, freq_dim=16)
+    params = init_wan_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 4, 3, 8, 8)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+
+    ref = np.asarray(wan_dit_forward(params, cfg, x, t, ctx,
+                                     policy=FP32_POLICY))
+    qp = quantize_tree(params)
+    got = np.asarray(wan_dit_forward(qp, cfg, x, t, ctx, policy=FP32_POLICY))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert np.isfinite(got).all()
+    assert rel < 0.08, rel    # W8A8 end-to-end drift on a 2-layer model

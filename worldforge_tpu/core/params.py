@@ -40,6 +40,9 @@ def dense_init(key, in_dim: int, out_dim: int, *, bias: bool = True,
 
 
 def dense(p: dict, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
+    if "w8" in p:  # int8 serving mode (ops/quant.py)
+        from worldforge_tpu.ops.quant import dense_q8
+        return dense_q8(p, x, out_dtype=compute_dtype or x.dtype)
     w = p["w"]
     if compute_dtype is not None:
         w = w.astype(compute_dtype)
