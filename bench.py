@@ -14,6 +14,7 @@ at 40% MFU) ≈ 0.09 frames/sec — updated when real A100 numbers exist.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -41,6 +42,10 @@ def bench_wan_dit_480p():
     seq = f * h * w
     key = jax.random.key(0)
     layer = init_wan_dit_layer(key, cfg, dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_MODE") == "int8":
+        # opt-in W8A8 serving mode (ops/quant.py): ~1.13x, 2-3% output err
+        from worldforge_tpu.ops.quant import quantize_tree
+        layer = quantize_tree(layer)
 
     x = jax.random.normal(key, (1, seq, cfg.dim), jnp.bfloat16)
     e = jax.random.normal(key, (1, 6, cfg.dim), jnp.float32)
