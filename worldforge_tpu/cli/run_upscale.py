@@ -7,9 +7,7 @@ Flag surface mirrors /root/reference/longcat_for_worldforge/run_upscale.py
 from __future__ import annotations
 
 import argparse
-import os
 
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:

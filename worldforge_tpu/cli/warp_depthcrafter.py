@@ -9,7 +9,6 @@ exists, :388-393); (2) per-frame point-cloud render along the trajectory.
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 
 import numpy as np

@@ -32,7 +32,6 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from worldforge_tpu.core import params as P
 from worldforge_tpu.ops.attention import attention

@@ -27,7 +27,6 @@ scanned like the base model.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Tuple
 
 import jax

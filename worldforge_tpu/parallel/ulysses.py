@@ -12,7 +12,6 @@ Semantics: tokens sharded [B, S/sp, H, D] -> all_to_all -> heads sharded
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

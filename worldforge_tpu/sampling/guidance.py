@@ -15,7 +15,6 @@ from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from worldforge_tpu.sampling.channel_select import (
     apply_channel_replacement, channel_similarities, select_channels_wan,

@@ -7,10 +7,8 @@ DepthCrafter/warp_depthcrafter.py:255-287 (fixed-K unprojection).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
