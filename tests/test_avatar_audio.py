@@ -95,6 +95,48 @@ def test_avatar_dit_forward_and_cond_audio_isolation(rng):
     assert np.abs(np.asarray(out3) - np.asarray(out)).max() > 1e-4
 
 
+def test_avatar_ref_attention_partitioning(rng):
+    """avatar/attention.py:118-213 semantics: ref frame attends only to
+    itself; noise frames in the mask_frame_range window ignore ref keys."""
+    from worldforge_tpu.models.longcat.avatar import (avatar_self_attention,
+                                                      init_avatar_layer)
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.ops.rope import rope_cos_sin
+
+    cfg = AvatarConfig.tiny()
+    p = init_avatar_layer(jax.random.key(0), cfg, dtype=jnp.float32)
+    T, nh, nw = 7, 2, 2
+    sf = nh * nw
+    cos, sin = rope_cos_sin(T, nh, nw, cfg.base.head_dim)
+    x = jnp.asarray(rng.standard_normal((1, T * sf, cfg.base.hidden_size)),
+                    jnp.float32)
+    # layout: 1 ref + 2 cond + 4 noise; anchor index 4, range 1 ->
+    # noise-relative window [1, 4) = latent frames [4, 7) exclude ref keys;
+    # latent frame 3 is the unmasked noise frame
+    kw = dict(T=T, num_cond_latents=3, num_ref_latents=1, ref_img_index=4,
+              mask_frame_range=1, policy=FP32_POLICY, attn_impl="sdpa")
+    o = avatar_self_attention(p, cfg, x, cos, sin, **kw)
+
+    # perturb noise tokens: ref + cond outputs unchanged (they never see
+    # noise keys)
+    x2 = x.at[:, 3 * sf:].add(5.0)
+    o2 = avatar_self_attention(p, cfg, x2, cos, sin, **kw)
+    np.testing.assert_allclose(np.asarray(o[:, :3 * sf]),
+                               np.asarray(o2[:, :3 * sf]), atol=1e-5)
+
+    # perturb the REF tokens: cond output unchanged (cond excludes ref);
+    # masked noise frames unchanged; at least one unmasked noise frame
+    # changes (it attends to ref)
+    x3 = x.at[:, :sf].add(5.0)
+    o3 = avatar_self_attention(p, cfg, x3, cos, sin, **kw)
+    np.testing.assert_allclose(np.asarray(o[:, sf:3 * sf]),
+                               np.asarray(o3[:, sf:3 * sf]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o[:, 4 * sf:]),   # masked frames
+                               np.asarray(o3[:, 4 * sf:]), atol=1e-5)
+    assert np.abs(np.asarray(o3[:, 3 * sf:4 * sf]) -        # unmasked noise
+                  np.asarray(o[:, 3 * sf:4 * sf])).max() > 1e-4
+
+
 # ------------------------------------------------------------- HF oracle
 
 torch = pytest.importorskip("torch")

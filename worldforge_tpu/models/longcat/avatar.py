@@ -125,6 +125,70 @@ def regroup_audio_windows(cfg: AvatarConfig,
     return first, jnp.concatenate([head, midp, tail], axis=2)
 
 
+# ------------------------------------------------- ref-aware self-attn
+
+
+def avatar_self_attention(p, cfg: AvatarConfig, x_m, cos, sin, T: int,
+                          num_cond_latents: int, num_ref_latents: int,
+                          ref_img_index: Optional[int],
+                          mask_frame_range: Optional[int],
+                          policy: Policy, attn_impl: str) -> jnp.ndarray:
+    """Avatar self-attention with reference-frame partitioning
+    (avatar/attention.py:118-213, video continuation):
+      - ref frames (first num_ref_latents) attend only to themselves
+      - cond frames attend only to cond frames (ref excluded)
+      - noise frames attend to everything, EXCEPT noise frames within
+        mask_frame_range of ref_img_index, which attend to non-ref keys
+        only (suppresses action repetition near the anchor frame)
+    All indices are static python ints — each partition is its own SDPA
+    call, fused by XLA."""
+    from worldforge_tpu.models.longcat.dit import _heads_hd, _rms_hd
+    from worldforge_tpu.ops.rope import apply_rope
+
+    base = cfg.base
+    b, n, c = x_m.shape
+    cdt = policy.compute_dtype
+    h = base.num_heads
+    sf = n // T
+    qkv = P.dense(p["qkv"], x_m.astype(cdt))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _rms_hd(p["q_norm"], _heads_hd(q, h), base.eps)
+    k = _rms_hd(p["k_norm"], _heads_hd(k, h), base.eps)
+    v = _heads_hd(v, h)
+    q = apply_rope(q, cos, sin, out_dtype=cdt)
+    k = apply_rope(k, cos, sin, out_dtype=cdt)
+
+    attn = lambda q_, k_, v_: attention(q_, k_, v_, impl=attn_impl)
+    nr = num_ref_latents * sf
+    nc = num_cond_latents * sf
+
+    o_ref = attn(q[:, :nr], k[:, :nr], v[:, :nr])
+    o_cond = attn(q[:, nr:nc], k[:, nr:nc], v[:, nr:nc])
+    if num_cond_latents == T:
+        o = jnp.concatenate([o_ref, o_cond], axis=1)
+        return P.dense(p["attn_proj"], o.reshape(b, n, c).astype(cdt))
+
+    q_noise = q[:, nc:]
+    num_noisy = T - num_cond_latents
+    start = end = 0
+    if mask_frame_range is not None and mask_frame_range > 0 \
+            and ref_img_index is not None:
+        start = ref_img_index - mask_frame_range - num_cond_latents \
+            + num_ref_latents
+        end = ref_img_index + mask_frame_range - num_cond_latents \
+            + num_ref_latents + 1
+    if start >= 0 and end > start and end <= num_noisy:
+        sp, ep = start * sf, end * sf
+        o_front = attn(q_noise[:, :sp], k, v)
+        o_mask = attn(q_noise[:, sp:ep], k[:, nr:], v[:, nr:])
+        o_back = attn(q_noise[:, ep:], k, v)
+        o_noise = jnp.concatenate([o_front, o_mask, o_back], axis=1)
+    else:
+        o_noise = attn(q_noise, k, v)
+    o = jnp.concatenate([o_ref, o_cond, o_noise], axis=1)
+    return P.dense(p["attn_proj"], o.reshape(b, n, c).astype(cdt))
+
+
 # -------------------------------------------------------------- block
 
 
@@ -172,6 +236,9 @@ def _audio_cross_attention(p, cfg: AvatarConfig, x_noise: jnp.ndarray,
 
 def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
                          audio, cos, sin, T: int, num_cond_latents: int = 0,
+                         num_ref_latents: int = 0,
+                         ref_img_index: Optional[int] = None,
+                         mask_frame_range: Optional[int] = None,
                          policy: Policy = DEFAULT_POLICY,
                          attn_impl: str = "auto"):
     """Base LongCat block with the audio cross-attn branch inserted between
@@ -185,8 +252,16 @@ def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
 
     xf = x.astype(jnp.float32)
     x_m = _modulate_per_frame(xf, sh_a, sc_a, T, base.eps)
-    y = _self_attention_lc(p, base, x_m.astype(policy.compute_dtype), cos,
-                           sin, T, num_cond_latents, policy, attn_impl)
+    if num_ref_latents > 0 and num_cond_latents > 1:
+        y = avatar_self_attention(p, cfg,
+                                  x_m.astype(policy.compute_dtype), cos,
+                                  sin, T, num_cond_latents,
+                                  num_ref_latents, ref_img_index,
+                                  mask_frame_range, policy, attn_impl)
+    else:
+        y = _self_attention_lc(p, base, x_m.astype(policy.compute_dtype),
+                               cos, sin, T, num_cond_latents, policy,
+                               attn_impl)
     yf = y.astype(jnp.float32).reshape(b, T, n // T, c)
     xf = xf + (g_a[:, :, None] * yf).reshape(b, n, c)
 
@@ -251,6 +326,8 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
                        encoder_attention_mask=None,
                        num_cond_latents: int = 0,
                        num_ref_latents: Optional[int] = None,
+                       ref_img_index: Optional[int] = None,
+                       mask_frame_range: Optional[int] = None,
                        policy: Policy = DEFAULT_POLICY,
                        attn_impl: str = "auto"):
     """hidden_states [B, C_in, T, H, W]; audio_embs [B, T_video, W, S, C_a]
@@ -296,7 +373,8 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
     def body(carry, layer):
         out = avatar_layer_forward(layer, cfg, carry, t_emb, ctx, kv_lens,
                                    audio, cos, sin, nt, num_cond_latents,
-                                   policy, attn_impl)
+                                   num_ref_latents or 0, ref_img_index,
+                                   mask_frame_range, policy, attn_impl)
         return out, None
 
     xN, _ = jax.lax.scan(body, x.astype(jnp.float32), params["blocks"])
