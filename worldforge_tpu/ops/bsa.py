@@ -54,6 +54,19 @@ def select_blocks(q: jnp.ndarray, k: jnp.ndarray, *,
     d = head_dim or q.shape[-1]
     qc = mean_pool_chunks(q.astype(jnp.float32), chunk_q)
     kc = mean_pool_chunks(k.astype(jnp.float32), chunk_k)
+    return select_blocks_from_pooled(qc, kc, sparsity=sparsity,
+                                     cdf_threshold=cdf_threshold,
+                                     head_dim=d)
+
+
+def select_blocks_from_pooled(qc: jnp.ndarray, kc: jnp.ndarray, *,
+                              sparsity: Optional[float] = 0.875,
+                              cdf_threshold: Optional[float] = None,
+                              head_dim: int = 128
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Selection on already chunk-pooled q/k (the CP path pools locally
+    and all-gathers the tiny pooled k before selecting)."""
+    d = head_dim
     score = jnp.einsum("bqd,bkd->bqk", qc, kc)  # raw scores (cal_score)
     nk = score.shape[-1]
 
@@ -85,15 +98,21 @@ BSA_GATHER = 8
 
 
 def _bsa_kernel(idx_ref, cnt_ref, q_ref, *kv_and_out, scale: float,
-                kmax: int):
-    """kv_and_out: G k-refs, G v-refs, o_ref, m/l/acc scratch. Each grid
-    step processes G gathered kv blocks as one (G*128)-wide tile; sub-block
-    j is masked out when its selection slot ki*G+j >= count."""
+                kmax: int, with_lse: bool = False):
+    """kv_and_out: G k-refs, G v-refs, o_ref, [m_out, l_out], m/l/acc
+    scratch. Each grid step processes G gathered kv blocks as one
+    (G*128)-wide tile; sub-block j is masked out when its selection slot
+    ki*G+j >= count. with_lse additionally emits the running max and
+    normalizer per query row (for cross-rank LSE merging in CP BSA)."""
     g = BSA_GATHER
     k_refs = kv_and_out[:g]
     v_refs = kv_and_out[g:2 * g]
     o_ref = kv_and_out[2 * g]
-    m_ref, l_ref, acc_ref = kv_and_out[2 * g + 1:]
+    if with_lse:
+        m_out, l_out = kv_and_out[2 * g + 1:2 * g + 3]
+        m_ref, l_ref, acc_ref = kv_and_out[2 * g + 3:]
+    else:
+        m_ref, l_ref, acc_ref = kv_and_out[2 * g + 1:]
 
     bh = pl.program_id(0)
     qi = pl.program_id(1)
@@ -134,11 +153,16 @@ def _bsa_kernel(idx_ref, cnt_ref, q_ref, *kv_and_out, scale: float,
     def _finish():
         l = jnp.maximum(l_ref[:, :1], 1e-20)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        if with_lse:
+            m_out[0] = m_ref[:]
+            l_out[0] = l_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "kmax", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "kmax", "interpret",
+                                    "return_lse"))
 def _bsa_bhsd(q, k, v, indices_flat, counts, *, scale, kmax,
-              interpret=False):
+              interpret=False, return_lse=False):
     """q: [BH, Sq, D]; k/v: [BH, Sk, D] (chunk-rearranged, multiples of 128);
     indices_flat: [BH, Nq*Kmax] (flattened — SMEM pads the LAST axis to 128
     lanes, so a flat layout wastes nothing); counts: [BH, Nq]."""
@@ -155,36 +179,45 @@ def _bsa_bhsd(q, k, v, indices_flat, counts, *, scale, kmax,
         kmax = kmax_p
 
     grid = (bh, nq, kmax // g)
-    kernel = functools.partial(_bsa_kernel, scale=scale, kmax=kmax)
+    kernel = functools.partial(_bsa_kernel, scale=scale, kmax=kmax,
+                               with_lse=return_lse)
 
     def k_map(j):
         return lambda b, qi, ki, idx, cnt: (b, idx[b, qi * kmax + ki * g + j],
                                             0)
 
     kv_spec = [pl.BlockSpec((1, CHUNK_K, d), k_map(j)) for j in range(g)]
-    return pl.pallas_call(
+    qo_spec = pl.BlockSpec((1, CHUNK_Q, d),
+                           lambda b, qi, ki, idx, cnt: (b, qi, 0))
+    ml_spec = pl.BlockSpec((1, CHUNK_Q, 128),
+                           lambda b, qi, ki, idx, cnt: (b, qi, 0))
+    out_specs = qo_spec if not return_lse else (qo_spec, ml_spec, ml_spec)
+    out_shape = jax.ShapeDtypeStruct((bh, sq, d), q.dtype)
+    if return_lse:
+        ml_shape = jax.ShapeDtypeStruct((bh, sq, 128), jnp.float32)
+        out_shape = (out_shape, ml_shape, ml_shape)
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # indices, counts
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, CHUNK_Q, d),
-                             lambda b, qi, ki, idx, cnt: (b, qi, 0)),
-                *kv_spec, *kv_spec,
-            ],
-            out_specs=pl.BlockSpec((1, CHUNK_Q, d),
-                                   lambda b, qi, ki, idx, cnt: (b, qi, 0)),
+            in_specs=[qo_spec, *kv_spec, *kv_spec],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((CHUNK_Q, 128), jnp.float32),
                 pltpu.VMEM((CHUNK_Q, 128), jnp.float32),
                 pltpu.VMEM((CHUNK_Q, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(indices_flat, counts, q, *([k] * g), *([v] * g))
+    if return_lse:
+        o, m, l = res
+        return o, m[:, :, 0], l[:, :, 0]
+    return res
 
 
 def _bsa_reference(q, k, v, indices, counts, scale):
