@@ -30,3 +30,33 @@ def test_bsa_cp_matches_single_device(rng, sp, sparsity, cdf):
     rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / (
         np.abs(np.asarray(ref)).max() + 1e-8)
     assert rel < 2e-4, rel
+
+
+def test_longcat_bsa_dispatches_cp(rng):
+    """LongCat DiT with an sp>1 mesh + bsa_params routes through the
+    ring-CP BSA and matches the single-device forward."""
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit,
+                                                   longcat_dit_forward)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    mesh = make_mesh(dp=1, fsdp=1, sp=2)
+    cfg = LongCatDiTConfig.tiny()
+    params = init_longcat_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    # latent grid (8, 4, 8) = 256 tokens = 2 chunks of (4,4,8)
+    x = jnp.asarray(rng.standard_normal((1, 16, 8, 8, 16)), jnp.float32)
+    t = jnp.asarray([700.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 6, cfg.caption_channels)),
+                      jnp.float32)
+    bsa = {"sparsity": 0.5}
+    ref = longcat_dit_forward(params, cfg, x, t, ctx, policy=FP32_POLICY,
+                              bsa_params=bsa)
+    with mesh:
+        got = longcat_dit_forward(params, cfg, x, t, ctx,
+                                  policy=FP32_POLICY, mesh=mesh,
+                                  bsa_params=bsa)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-8)
+    assert rel < 2e-4, rel

@@ -176,15 +176,26 @@ def _self_attention_lc(p, cfg, x_m, cos, sin, T, num_cond_latents,
     k = apply_rope(k, cos, sin, out_dtype=cdt)
 
     if bsa_params is not None and grid3d is not None and grid3d[0] > 1:
-        # block-sparse path (720p refine, attention.py:58-66)
-        from worldforge_tpu.ops.bsa import bsa_attention_3d
+        # block-sparse path (720p refine, attention.py:58-66); with an sp
+        # mesh axis the ring-KV context-parallel variant is used
+        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+            from worldforge_tpu.parallel.bsa_cp import bsa_attention_3d_cp
 
-        def attn(q_, k_, v_):
-            tq = q_.shape[1] // (grid3d[1] * grid3d[2])
-            tk = k_.shape[1] // (grid3d[1] * grid3d[2])
-            return bsa_attention_3d(
-                q_, k_, v_, (tq, grid3d[1], grid3d[2]),
-                (tk, grid3d[1], grid3d[2]), **bsa_params)
+            def attn(q_, k_, v_):
+                tq = q_.shape[1] // (grid3d[1] * grid3d[2])
+                tk = k_.shape[1] // (grid3d[1] * grid3d[2])
+                return bsa_attention_3d_cp(
+                    q_, k_, v_, (tq, grid3d[1], grid3d[2]),
+                    (tk, grid3d[1], grid3d[2]), mesh=mesh, **bsa_params)
+        else:
+            from worldforge_tpu.ops.bsa import bsa_attention_3d
+
+            def attn(q_, k_, v_):
+                tq = q_.shape[1] // (grid3d[1] * grid3d[2])
+                tk = k_.shape[1] // (grid3d[1] * grid3d[2])
+                return bsa_attention_3d(
+                    q_, k_, v_, (tq, grid3d[1], grid3d[2]),
+                    (tk, grid3d[1], grid3d[2]), **bsa_params)
     elif mesh is not None and mesh.shape.get("sp", 1) > 1:
         from worldforge_tpu.parallel.ulysses import ulysses_attention
         attn = lambda q_, k_, v_: ulysses_attention(q_, k_, v_, mesh=mesh,
