@@ -106,10 +106,13 @@ def test_full_vggt_tiny(rng):
     from worldforge_tpu.models.vggt.inference import (init_vggt_full,
                                                       vggt_forward)
     cfg = VGGTConfig.tiny()
-    params = init_vggt_full(jax.random.key(0), cfg)
+    params = init_vggt_full(jax.random.key(0), cfg, enable_point=True)
     imgs = jnp.asarray(rng.uniform(0, 1, (1, 2, 3, 28, 28)), jnp.float32)
-    pose_enc, depth, conf = vggt_forward(params, cfg, imgs)
-    assert pose_enc.shape == (1, 2, 9)
-    assert depth.shape == (1, 2, 28, 28, 1)
-    assert conf.shape == (1, 2, 28, 28)
-    assert np.isfinite(np.asarray(depth)).all()
+    out = vggt_forward(params, cfg, imgs)
+    assert out["pose_enc"].shape == (1, 2, 9)
+    assert out["depth"].shape == (1, 2, 28, 28, 1)
+    assert out["depth_conf"].shape == (1, 2, 28, 28)
+    assert out["world_points"].shape == (1, 2, 28, 28, 3)
+    assert out["world_points_conf"].shape == (1, 2, 28, 28)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+    assert np.isfinite(np.asarray(out["world_points"])).all()

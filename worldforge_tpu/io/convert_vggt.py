@@ -88,6 +88,8 @@ def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
 
     out = {"aggregator": aggregator, "camera_head": camera,
            "depth_head": _convert_dpt(sd, "depth_head", dtype)}
+    if "point_head.norm.weight" in sd:
+        out["point_head"] = _convert_dpt(sd, "point_head", dtype)
     if "track_head.tracker.fmap_norm.weight" in sd:
         out["track_head"] = convert_track_head(sd, dtype=dtype)
     return out
