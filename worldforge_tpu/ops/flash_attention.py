@@ -21,9 +21,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tuned on TPU v5e at Wan-480p shape (S=20480, H=40, D=128): (1024, 1024)
-# hits ~105 TFLOP/s vs ~130 TFLOP/s dense-matmul peak on the same chip.
-DEFAULT_BLOCK_Q = 1024
+# Tuned on TPU v5e at Wan-480p shape (S=20480, H=40, D=128): sweep
+# (1024,1024)=76.3ms, (2048,1024)=73.6-75.6ms, (1024,2048)=75.5ms,
+# (2048,512)=116.7ms; 4096-row blocks fail to compile. (2048, 1024)
+# hits ~115 TFLOP/s vs ~130 TFLOP/s dense-matmul peak on the same chip.
+DEFAULT_BLOCK_Q = 2048
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30  # finite "minus infinity": keeps exp() NaN-free on padding
 
