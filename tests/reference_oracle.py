@@ -243,6 +243,26 @@ def import_vggt_track():
         "vggt.heads.track_modules.base_track_predictor")
 
 
+def import_vggt_dependency():
+    """Import the reference SfM math modules (torch CPU):
+    vggt/vggt/dependency/{distortion,projection}.py."""
+    _patch_cuda_autocast()
+    base = "/root/reference/vggt"
+    if base not in sys.path:
+        sys.path.insert(0, base)
+    import importlib
+
+    for name, path in (("vggt", f"{base}/vggt"),
+                       ("vggt.dependency", f"{base}/vggt/dependency")):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    dist = importlib.import_module("vggt.dependency.distortion")
+    proj = importlib.import_module("vggt.dependency.projection")
+    return dist, proj
+
+
 def import_fm_solvers():
     """Import the reference vendored flow DPM-Solver module (torch CPU):
     wan/utils/fm_solvers.py."""
