@@ -243,6 +243,43 @@ def import_vggt_track():
         "vggt.heads.track_modules.base_track_predictor")
 
 
+def import_vggsfm_tracker():
+    """Import the reference VGGSfM TrackerPredictor (torch CPU; hydra and
+    omegaconf are stubbed — only used for config plumbing the default
+    constructor bypasses)."""
+    _patch_cuda_autocast()
+    if "hydra" not in sys.modules:
+        hydra = types.ModuleType("hydra")
+        hu = types.ModuleType("hydra.utils")
+        hu.instantiate = lambda *a, **k: None
+        hydra.utils = hu
+        sys.modules["hydra"] = hydra
+        sys.modules["hydra.utils"] = hu
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+
+        class OmegaConf:
+            pass
+
+        oc.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = oc
+    base = "/root/reference/vggt"
+    if base not in sys.path:
+        sys.path.insert(0, base)
+    import importlib
+
+    for name, path in (
+            ("vggt", f"{base}/vggt"),
+            ("vggt.dependency", f"{base}/vggt/dependency"),
+            ("vggt.dependency.track_modules",
+             f"{base}/vggt/dependency/track_modules")):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    return importlib.import_module("vggt.dependency.vggsfm_tracker")
+
+
 def import_vggt_dependency():
     """Import the reference SfM math modules (torch CPU):
     vggt/vggt/dependency/{distortion,projection}.py."""
