@@ -137,6 +137,48 @@ def test_avatar_ref_attention_partitioning(rng):
                   np.asarray(o[:, 3 * sf:4 * sf])).max() > 1e-4
 
 
+def test_avatar_kv_cache_matches_joint(rng):
+    """Avatar cached-cond denoising == joint forward's noise outputs
+    (same contract as the base LongCat vc test, with audio active)."""
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.models.longcat.avatar import (
+        avatar_dit_cache_cond, avatar_dit_forward_with_cache)
+    from worldforge_tpu.models.longcat.dit import LongCatDiTConfig
+
+    base = LongCatDiTConfig.tiny()
+    base = type(base)(**{**base.__dict__, "in_channels": 4,
+                         "out_channels": 4})
+    cfg = AvatarConfig(base=base, audio_blocks=2, audio_channels=8,
+                       intermediate_dim=16, output_dim=8, context_tokens=4)
+    params = init_avatar_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+
+    b, tc, tn, hh, ww = 1, 2, 3, 8, 8
+    t_video = 1 + (tc + tn - 1) * cfg.vae_scale
+    cond = jnp.asarray(rng.standard_normal((b, 4, tc, hh, ww)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((b, 4, tn, hh, ww)),
+                        jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 6, base.caption_channels)),
+                      jnp.float32)
+    audio = jnp.asarray(rng.standard_normal(
+        (b, t_video, cfg.audio_window, cfg.audio_blocks,
+         cfg.audio_channels)), jnp.float32)
+    t_val = 700.0
+
+    full = jnp.concatenate([cond, noise], axis=2)
+    tb = jnp.full((b, tc + tn), t_val, jnp.float32).at[:, :tc].set(0.0)
+    out_joint = avatar_dit_forward(params, cfg, full, tb, ctx, audio,
+                                   num_cond_latents=tc, policy=FP32_POLICY)
+
+    kv = avatar_dit_cache_cond(params, cfg, cond, policy=FP32_POLICY)
+    tb_n = jnp.full((b, tn), t_val, jnp.float32)
+    out_cache = avatar_dit_forward_with_cache(
+        params, cfg, noise, tb_n, ctx, audio, kv, (tc,),
+        policy=FP32_POLICY)
+    np.testing.assert_allclose(np.asarray(out_cache),
+                               np.asarray(out_joint[:, :, tc:]),
+                               atol=5e-4, rtol=5e-4)
+
+
 # ------------------------------------------------------------- HF oracle
 
 torch = pytest.importorskip("torch")

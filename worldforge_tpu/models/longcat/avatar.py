@@ -305,6 +305,140 @@ def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
     return xf + (g_f[:, :, None] * ff).reshape(b, n, c)
 
 
+# ----------------------------------------------------------- KV cache
+
+
+def avatar_dit_cache_cond(params, cfg: AvatarConfig, cond_latents,
+                          policy: Policy = DEFAULT_POLICY):
+    """Cache clean cond-frame K/V per block. skip_crs_attn=True during
+    caching gates BOTH text and audio branches
+    (longcat_video_dit_avatar.py:143-178 under `if not skip_crs_attn`),
+    so the avatar cache pass is exactly the base one over the avatar
+    blocks (extra audio params unused)."""
+    from worldforge_tpu.models.longcat.dit import longcat_dit_cache_cond
+
+    return longcat_dit_cache_cond(params, cfg.base, cond_latents,
+                                  policy=policy)
+
+
+def avatar_dit_forward_with_cache(params, cfg: AvatarConfig, hidden_states,
+                                  timestep, encoder_hidden_states,
+                                  audio_embs, kv_cache, cond_grid,
+                                  encoder_attention_mask=None,
+                                  policy: Policy = DEFAULT_POLICY,
+                                  attn_impl: str = "auto"):
+    """Denoise noise latents against cached cond K/V with audio
+    conditioning (avatar attention.py:216-280 + block kv_cache branch:
+    text cross-attn over ALL noise tokens, audio with num_cond_latents=0).
+    hidden_states [B, C, T_noise, H, W]; audio_embs covers the FULL video
+    ([B, T_video, W, S, C_a]) — the last T_noise latent frames are used."""
+    from worldforge_tpu.models.wan.dit import patchify, unpatchify
+    from worldforge_tpu.models.longcat.dit import (_cross_attention_lc,
+                                                   timestep_embedding)
+    from worldforge_tpu.ops.rope import apply_rope, rope_cos_sin
+
+    base = cfg.base
+    b, _, T, H, W = hidden_states.shape
+    pt, ph, pw = base.patch_size
+    nt, nh, nw = T // pt, H // ph, W // pw
+    tc = cond_grid[0]
+    n_cond = tc * nh * nw
+
+    if timestep.ndim == 1:
+        timestep = jnp.broadcast_to(timestep[:, None], (b, nt))
+
+    x = P.dense(params["x_embedder"],
+                patchify(hidden_states.astype(policy.compute_dtype),
+                         base.patch_size))
+    te = timestep_embedding(timestep.reshape(-1),
+                            base.frequency_embedding_size)
+    te = P.dense(params["t_embedder"]["fc1"], te, compute_dtype=jnp.float32)
+    te = P.dense(params["t_embedder"]["fc2"], jax.nn.silu(te),
+                 compute_dtype=jnp.float32)
+    t_emb = te.reshape(b, nt, base.adaln_tembed_dim)
+
+    ctx = P.dense(params["y_embedder"]["fc2"], P.gelu_tanh(
+        P.dense(params["y_embedder"]["fc1"],
+                encoder_hidden_states.astype(policy.compute_dtype))))
+    kv_lens = (encoder_attention_mask.sum(axis=1).astype(jnp.int32)
+               if encoder_attention_mask is not None else None)
+
+    first, latter = regroup_audio_windows(cfg, audio_embs)
+    audio = audio_proj_forward(params["audio_proj"], cfg, first,
+                               latter)[:, -nt:]
+
+    cos_full, sin_full = rope_cos_sin(tc + nt, nh, nw, base.head_dim)
+    cos_q, sin_q = cos_full[n_cond:], sin_full[n_cond:]
+    h = base.num_heads
+    cdt = policy.compute_dtype
+
+    def body(carry, inputs):
+        layer, kv = inputs
+        xf = carry
+        mod = P.dense(layer["adaln"], jax.nn.silu(t_emb),
+                      compute_dtype=jnp.float32)
+        sh_a, sc_a, g_a, sh_f, sc_f, g_f = jnp.split(mod, 6, axis=-1)
+        x_m = _modulate_per_frame(xf, sh_a, sc_a, nt, base.eps).astype(cdt)
+        qkv = P.dense(layer["qkv"], x_m)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _rms_hd(layer["q_norm"], _heads_hd(q, h), base.eps)
+        k = _rms_hd(layer["k_norm"], _heads_hd(k, h), base.eps)
+        v_h = _heads_hd(v, h)
+        k_full = jnp.concatenate([kv[0].astype(jnp.float32), k], axis=1)
+        v_full = jnp.concatenate([kv[1].astype(cdt), v_h.astype(cdt)],
+                                 axis=1)
+        q = apply_rope(q, cos_q, sin_q, out_dtype=cdt)
+        k_full = apply_rope(k_full, cos_full, sin_full, out_dtype=cdt)
+        o = attention(q, k_full, v_full, impl=attn_impl)
+        o = P.dense(layer["attn_proj"],
+                    o.reshape(b, nt * nh * nw,
+                              base.hidden_size).astype(cdt))
+        of = o.astype(jnp.float32).reshape(b, nt, -1, base.hidden_size)
+        xf = xf + (g_a[:, :, None] * of).reshape(xf.shape)
+
+        # text cross-attn (num_cond_latents=None in cache mode :141-143)
+        h2 = P.layer_norm(layer["pre_crs_norm"], xf, eps=base.eps,
+                          out_dtype=cdt)
+        xf = xf + _cross_attention_lc(layer, base, h2, ctx, kv_lens, nt, 0,
+                                      policy,
+                                      attn_impl).astype(jnp.float32)
+
+        # audio cross-attn with num_cond_latents=0 (:145-147)
+        amod = P.dense(layer["audio_adaln"], jax.nn.silu(t_emb),
+                       compute_dtype=jnp.float32)
+        a_sh, a_sc, a_g = jnp.split(amod, 3, axis=-1)
+        xv = P.layer_norm(layer["pre_video_norm"], xf, eps=base.eps,
+                          out_dtype=cdt)
+        audio_n = audio
+        if cfg.audio_prenorm:
+            audio_n = P.layer_norm(layer["pre_audio_norm"], audio_n,
+                                   eps=base.eps)
+        a_out = _audio_cross_attention(layer, cfg, xv, audio_n, nt, policy,
+                                       attn_impl).astype(jnp.float32)
+        a_out = _modulate_per_frame(a_out, a_sh, a_sc, nt, base.eps)
+        xf = xf + (a_g[:, :, None]
+                   * a_out.reshape(b, nt, -1, base.hidden_size)
+                   ).reshape(xf.shape)
+
+        x_m2 = _modulate_per_frame(xf, sh_f, sc_f, nt, base.eps).astype(cdt)
+        ff = P.dense(layer["w2"], jax.nn.silu(P.dense(layer["w1"], x_m2))
+                     * P.dense(layer["w3"], x_m2))
+        ff = ff.astype(jnp.float32).reshape(b, nt, -1, base.hidden_size)
+        xf = xf + (g_f[:, :, None] * ff).reshape(xf.shape)
+        return xf, None
+
+    xN, _ = jax.lax.scan(body, x.astype(jnp.float32),
+                         (params["blocks"], kv_cache))
+
+    fmod = P.dense(params["final"]["adaln"], jax.nn.silu(t_emb),
+                   compute_dtype=jnp.float32)
+    sh, sc = jnp.split(fmod, 2, axis=-1)
+    xN = _modulate_per_frame(xN, sh, sc, nt, base.eps)
+    out = P.dense(params["final"]["linear"], xN, compute_dtype=jnp.float32)
+    return unpatchify(out, (nt, nh, nw), base.patch_size,
+                      base.out_channels).astype(jnp.float32)
+
+
 # -------------------------------------------------------------- model
 
 
