@@ -115,12 +115,12 @@ def test_avatar_ref_attention_partitioning(rng):
     # latent frame 3 is the unmasked noise frame
     kw = dict(T=T, num_cond_latents=3, num_ref_latents=1, ref_img_index=4,
               mask_frame_range=1, policy=FP32_POLICY, attn_impl="sdpa")
-    o = avatar_self_attention(p, cfg, x, cos, sin, **kw)
+    o, _ = avatar_self_attention(p, cfg, x, cos, sin, **kw)
 
     # perturb noise tokens: ref + cond outputs unchanged (they never see
     # noise keys)
     x2 = x.at[:, 3 * sf:].add(5.0)
-    o2 = avatar_self_attention(p, cfg, x2, cos, sin, **kw)
+    o2, _ = avatar_self_attention(p, cfg, x2, cos, sin, **kw)
     np.testing.assert_allclose(np.asarray(o[:, :3 * sf]),
                                np.asarray(o2[:, :3 * sf]), atol=1e-5)
 
@@ -128,13 +128,69 @@ def test_avatar_ref_attention_partitioning(rng):
     # masked noise frames unchanged; at least one unmasked noise frame
     # changes (it attends to ref)
     x3 = x.at[:, :sf].add(5.0)
-    o3 = avatar_self_attention(p, cfg, x3, cos, sin, **kw)
+    o3, _ = avatar_self_attention(p, cfg, x3, cos, sin, **kw)
     np.testing.assert_allclose(np.asarray(o[:, sf:3 * sf]),
                                np.asarray(o3[:, sf:3 * sf]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(o[:, 4 * sf:]),   # masked frames
                                np.asarray(o3[:, 4 * sf:]), atol=1e-5)
     assert np.abs(np.asarray(o3[:, 3 * sf:4 * sf]) -        # unmasked noise
                   np.asarray(o[:, 3 * sf:4 * sf])).max() > 1e-4
+
+
+def test_rope_1d_and_attn_map(rng):
+    from worldforge_tpu.models.longcat.avatar import (attn_map_with_target,
+                                                      rope_1d_rotate)
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 2, 8)), jnp.float32)
+    # position 0 -> identity; any position preserves pairwise norms
+    np.testing.assert_allclose(
+        np.asarray(rope_1d_rotate(x, jnp.zeros((1, 6)))), np.asarray(x),
+        atol=1e-6)
+    r = np.asarray(rope_1d_rotate(x, jnp.full((1, 6), 3.7)))
+    np.testing.assert_allclose(
+        np.linalg.norm(r.reshape(1, 6, 2, 4, 2), axis=-1),
+        np.linalg.norm(np.asarray(x).reshape(1, 6, 2, 4, 2), axis=-1),
+        atol=1e-5)
+
+    # queries aligned with masked ref keys get higher per-speaker mass
+    k = jnp.asarray(rng.standard_normal((1, 8, 2, 8)), jnp.float32)
+    q = jnp.concatenate([k[:, :2] * 3.0, k[:, 4:6] * 3.0], axis=1)
+    masks = jnp.zeros((2, 8)).at[0, :2].set(1).at[1, 4:6].set(1)
+    m = np.asarray(attn_map_with_target(q, k, masks))
+    assert m.shape == (2, 4)
+    assert m[0, :2].mean() > m[1, :2].mean()   # first queries -> speaker 0
+    assert m[1, 2:].mean() > m[0, 2:].mean()   # last queries -> speaker 1
+
+
+def test_avatar_multitalk_forward(rng):
+    cfg = AvatarConfig.tiny()
+    params = init_avatar_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    t_lat, h, w = 3, 8, 8
+    t_video = 1 + (t_lat - 1) * cfg.vae_scale
+    x = jnp.asarray(rng.standard_normal((1, 16, t_lat, h, w)), jnp.float32)
+    ts = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal(
+        (1, 6, cfg.base.caption_channels)), jnp.float32)
+    # two speakers' audio in the batch axis
+    audio = jnp.asarray(rng.standard_normal(
+        (2, t_video, cfg.audio_window, cfg.audio_blocks,
+         cfg.audio_channels)), jnp.float32)
+    masks = jnp.zeros((2, h, w)).at[0, :, :4].set(1).at[1, :, 4:].set(1)
+
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.models.longcat.avatar import avatar_dit_forward
+    out = avatar_dit_forward(params, cfg, x, ts, ctx, audio,
+                             num_cond_latents=1, ref_target_masks=masks,
+                             policy=FP32_POLICY)
+    assert out.shape == (1, 16, t_lat, h, w)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # swapping the speaker masks changes the output (speaker routing live)
+    out2 = avatar_dit_forward(params, cfg, x, ts, ctx, audio,
+                              num_cond_latents=1,
+                              ref_target_masks=masks[::-1],
+                              policy=FP32_POLICY)
+    assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-5
 
 
 def test_avatar_kv_cache_matches_joint(rng):

@@ -27,6 +27,7 @@ scanned like the base model.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -56,6 +57,8 @@ class AvatarConfig:
     context_tokens: int = 32
     vae_scale: int = 4
     audio_prenorm: bool = False
+    class_range: int = 24           # multitalk RoPE band span
+    class_interval: int = 4
 
     @property
     def window_vf(self) -> int:
@@ -125,6 +128,80 @@ def regroup_audio_windows(cfg: AvatarConfig,
     return first, jnp.concatenate([head, midp, tail], axis=2)
 
 
+# ------------------------------------------------------------ multitalk
+
+
+def rope_1d_rotate(x: jnp.ndarray, pos: jnp.ndarray,
+                   base: float = 10000.0) -> jnp.ndarray:
+    """Interleaved-pair 1D RoPE (avatar/rope_3d.py:126-168 + rotate_half
+    :33-37). x [..., S, H, D] with positions pos [..., S]."""
+    d = x.shape[-1]
+    freqs = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = pos.astype(jnp.float32)[..., None] * freqs      # [..., S, D/2]
+    cos = jnp.repeat(ang, 2, axis=-1)[..., None, :]
+    sin = jnp.sin(cos)
+    cos = jnp.cos(cos)
+    xf = x.astype(jnp.float32)
+    x2 = xf.reshape(xf.shape[:-1] + (d // 2, 2))
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(xf.shape)
+    return (xf * cos + rot * sin).astype(x.dtype)
+
+
+def attn_map_with_target(noise_q: jnp.ndarray, ref_k: jnp.ndarray,
+                         ref_target_masks: jnp.ndarray,
+                         split_num: int = 2) -> jnp.ndarray:
+    """Per-speaker attention mass of noise queries onto masked reference
+    tokens (audio_process/torch_utils.py:30-107): heads split into
+    `split_num` groups, per group softmax(q k^T / sqrt(d)) over ref
+    tokens, masked mean over ref tokens and heads, averaged over groups.
+    noise_q [B, Sn, H, D]; ref_k [B, Sref, H, D]; masks [C, Sref].
+    Returns [C, Sn]."""
+    b, sn, h, d = noise_q.shape
+    scale = 1.0 / math.sqrt(d)
+    hc = h // split_num
+    maps = []
+    for g in range(split_num):
+        q = noise_q[:, :, g * hc:(g + 1) * hc].astype(jnp.float32)
+        k = ref_k[:, :, g * hc:(g + 1) * hc].astype(jnp.float32)
+        att = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q * scale, k), axis=-1)
+        m = ref_target_masks.astype(jnp.float32)          # [C, Sref]
+        num = jnp.einsum("bhqk,ck->cbhq", att, m)
+        per = num / jnp.maximum(m.sum(axis=1)[:, None, None, None], 1e-8)
+        maps.append(per.mean(axis=(1, 2)))                # [C, Sn]
+    return sum(maps) / split_num
+
+
+def normalize_and_scale(column: jnp.ndarray, source_range, target_range,
+                        epsilon: float = 1e-8) -> jnp.ndarray:
+    """Linear rescale (avatar/attention.py:17-23)."""
+    smin, smax = source_range
+    tmin, tmax = target_range
+    return (column - smin) / (smax - smin + epsilon) * (tmax - tmin) + tmin
+
+
+def multitalk_positions(x_ref_attn_map: jnp.ndarray,
+                        class_range: int = 24,
+                        class_interval: int = 4) -> jnp.ndarray:
+    """Token RoPE positions from the 2-speaker attention map
+    (avatar/attention.py:343-360): speaker 1 normalized into
+    [0, interval], speaker 2 into [range-interval, range]; background
+    tokens sit at range//2; each token takes the band of its argmax
+    speaker. Returns [Sn] float positions."""
+    h1 = normalize_and_scale(
+        x_ref_attn_map[0],
+        (x_ref_attn_map[0].min(), x_ref_attn_map[0].max()),
+        (0.0, float(class_interval)))
+    h2 = normalize_and_scale(
+        x_ref_attn_map[1],
+        (x_ref_attn_map[1].min(), x_ref_attn_map[1].max()),
+        (float(class_range - class_interval), float(class_range)))
+    back = jnp.full_like(h1, class_range // 2)
+    stacked = jnp.stack([h1, h2, back], axis=1)           # [Sn, 3]
+    idx = jnp.argmax(x_ref_attn_map, axis=0)              # [Sn]
+    return jnp.take_along_axis(stacked, idx[:, None], axis=1)[:, 0]
+
+
 # ------------------------------------------------- ref-aware self-attn
 
 
@@ -132,7 +209,8 @@ def avatar_self_attention(p, cfg: AvatarConfig, x_m, cos, sin, T: int,
                           num_cond_latents: int, num_ref_latents: int,
                           ref_img_index: Optional[int],
                           mask_frame_range: Optional[int],
-                          policy: Policy, attn_impl: str) -> jnp.ndarray:
+                          policy: Policy, attn_impl: str,
+                          ref_target_masks: Optional[jnp.ndarray] = None):
     """Avatar self-attention with reference-frame partitioning
     (avatar/attention.py:118-213, video continuation):
       - ref frames (first num_ref_latents) attend only to themselves
@@ -164,9 +242,18 @@ def avatar_self_attention(p, cfg: AvatarConfig, x_m, cos, sin, T: int,
 
     o_ref = attn(q[:, :nr], k[:, :nr], v[:, :nr])
     o_cond = attn(q[:, nr:nc], k[:, nr:nc], v[:, nr:nc])
+
+    # multitalk: per-speaker attention mass of noise queries on the ref
+    # frame's masked tokens (avatar/attention.py:206-213)
+    x_ref_attn_map = None
+    if ref_target_masks is not None and num_cond_latents < T:
+        x_ref_attn_map = attn_map_with_target(q[:, nc:], k[:, :sf],
+                                              ref_target_masks)
+
     if num_cond_latents == T:
         o = jnp.concatenate([o_ref, o_cond], axis=1)
-        return P.dense(p["attn_proj"], o.reshape(b, n, c).astype(cdt))
+        return P.dense(p["attn_proj"],
+                       o.reshape(b, n, c).astype(cdt)), x_ref_attn_map
 
     q_noise = q[:, nc:]
     num_noisy = T - num_cond_latents
@@ -186,7 +273,8 @@ def avatar_self_attention(p, cfg: AvatarConfig, x_m, cos, sin, T: int,
     else:
         o_noise = attn(q_noise, k, v)
     o = jnp.concatenate([o_ref, o_cond, o_noise], axis=1)
-    return P.dense(p["attn_proj"], o.reshape(b, n, c).astype(cdt))
+    return P.dense(p["attn_proj"],
+                   o.reshape(b, n, c).astype(cdt)), x_ref_attn_map
 
 
 # -------------------------------------------------------------- block
@@ -234,16 +322,64 @@ def _audio_cross_attention(p, cfg: AvatarConfig, x_noise: jnp.ndarray,
     return o.reshape(b, n, c)
 
 
+def _audio_cross_attention_multitalk(p, cfg: AvatarConfig,
+                                     x_noise: jnp.ndarray,
+                                     audio: jnp.ndarray, t_noise: int,
+                                     x_ref_attn_map: jnp.ndarray,
+                                     policy: Policy,
+                                     attn_impl: str) -> jnp.ndarray:
+    """Two-speaker audio cross attention (avatar/attention.py:329-430,
+    multitalk): query tokens get 1D-RoPE positions in the band of the
+    speaker they attend to most; each speaker's audio keys sit at its
+    band center; audio holds BOTH speakers' tokens per frame
+    ([B, T_n, 2M, C_a])."""
+    b, n, c = x_noise.shape
+    cdt = policy.compute_dtype
+    base = cfg.base
+    h = base.num_heads
+    sf = n // t_noise
+    ci, cr = cfg.class_interval, cfg.class_range
+
+    xq = x_noise.reshape(b * t_noise, sf, c)
+    q = _rms_hd(p["a_q_norm"],
+                _heads_hd(P.dense(p["a_q"], xq.astype(cdt)), h),
+                base.eps)
+    # per-token positions over the WHOLE noise sequence (:351-360)
+    pos = multitalk_positions(x_ref_attn_map, cr, ci)      # [n]
+    qf = q.reshape(b, n, h, -1)
+    qf = rope_1d_rotate(qf, jnp.broadcast_to(pos[None], (b, n)))
+    q = qf.reshape(b * t_noise, sf, h, -1).astype(cdt)
+
+    cond = audio.reshape(b * t_noise, audio.shape[2], -1)
+    kv = P.dense(p["a_kv"], cond.astype(cdt))
+    k, v = jnp.split(kv, 2, axis=-1)
+    k = _rms_hd(p["a_k_norm"], _heads_hd(k, h), base.eps)
+    na = cond.shape[1]
+    per_frame = jnp.where(jnp.arange(na) < na // 2,
+                          (0.0 + ci) / 2.0, (cr - ci + cr) / 2.0)
+    kf = k.reshape(b, t_noise * na, h, -1)
+    kpos = jnp.broadcast_to(jnp.tile(per_frame, t_noise)[None],
+                            (b, t_noise * na))
+    kf = rope_1d_rotate(kf, kpos)
+    k = kf.reshape(b * t_noise, na, h, -1).astype(cdt)
+    v = _heads_hd(v, h)
+    o = attention(q, k, v, impl=attn_impl)
+    o = P.dense(p["a_proj"], o.reshape(b * t_noise, sf, c).astype(cdt))
+    return o.reshape(b, n, c)
+
+
 def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
                          audio, cos, sin, T: int, num_cond_latents: int = 0,
                          num_ref_latents: int = 0,
                          ref_img_index: Optional[int] = None,
                          mask_frame_range: Optional[int] = None,
+                         ref_target_masks: Optional[jnp.ndarray] = None,
                          policy: Policy = DEFAULT_POLICY,
                          attn_impl: str = "auto"):
     """Base LongCat block with the audio cross-attn branch inserted between
     text cross-attn and FFN (longcat_video_dit_avatar.py:98-192).
-    audio: [B, T, M, C_a] per-latent-frame context tokens."""
+    audio: [B, T, M, C_a] per-latent-frame context tokens (2M tokens per
+    frame in multitalk). ref_target_masks [2, Nh*Nw] enables multitalk."""
     base = cfg.base
     b, n, c = x.shape
     mod = P.dense(p["adaln"], jax.nn.silu(t_emb.astype(jnp.float32)),
@@ -252,12 +388,14 @@ def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
 
     xf = x.astype(jnp.float32)
     x_m = _modulate_per_frame(xf, sh_a, sc_a, T, base.eps)
-    if num_ref_latents > 0 and num_cond_latents > 1:
-        y = avatar_self_attention(p, cfg,
-                                  x_m.astype(policy.compute_dtype), cos,
-                                  sin, T, num_cond_latents,
-                                  num_ref_latents, ref_img_index,
-                                  mask_frame_range, policy, attn_impl)
+    x_ref_attn_map = None
+    if (num_ref_latents > 0 and num_cond_latents > 1) \
+            or ref_target_masks is not None:
+        y, x_ref_attn_map = avatar_self_attention(
+            p, cfg, x_m.astype(policy.compute_dtype), cos, sin, T,
+            max(num_cond_latents, 1), max(num_ref_latents, 1),
+            ref_img_index, mask_frame_range, policy, attn_impl,
+            ref_target_masks=ref_target_masks)
     else:
         y = _self_attention_lc(p, base, x_m.astype(policy.compute_dtype),
                                cos, sin, T, num_cond_latents, policy,
@@ -286,8 +424,14 @@ def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
     audio_n = audio[:, num_cond_latents:]
     if cfg.audio_prenorm:
         audio_n = P.layer_norm(p["pre_audio_norm"], audio_n, eps=base.eps)
-    a_out = _audio_cross_attention(p, cfg, xv, audio_n, t_noise, policy,
-                                   attn_impl).astype(jnp.float32)
+    if ref_target_masks is not None and x_ref_attn_map is not None:
+        a_out = _audio_cross_attention_multitalk(
+            p, cfg, xv, audio_n, t_noise, x_ref_attn_map, policy,
+            attn_impl).astype(jnp.float32)
+    else:
+        a_out = _audio_cross_attention(p, cfg, xv, audio_n, t_noise,
+                                       policy, attn_impl
+                                       ).astype(jnp.float32)
     a_out = _modulate_per_frame(a_out, a_sh, a_sc, t_noise, base.eps)
     a_out = (a_g[:, :, None] * a_out.reshape(b, t_noise, -1, c)
              ).reshape(b, n - nc, c)
@@ -462,11 +606,14 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
                        num_ref_latents: Optional[int] = None,
                        ref_img_index: Optional[int] = None,
                        mask_frame_range: Optional[int] = None,
+                       ref_target_masks: Optional[jnp.ndarray] = None,
                        policy: Policy = DEFAULT_POLICY,
                        attn_impl: str = "auto"):
     """hidden_states [B, C_in, T, H, W]; audio_embs [B, T_video, W, S, C_a]
-    per-video-frame wav2vec windows. Returns [B, C_out, T, H, W] fp32
-    (longcat_video_dit_avatar.py:373-513)."""
+    per-video-frame wav2vec windows — with the batch axis holding the TWO
+    speakers when ref_target_masks ([2, H, W] pixel masks, multitalk) is
+    given (longcat_video_dit_avatar.py:435-461). Returns
+    [B, C_out, T, H, W] fp32 (:373-513)."""
     from worldforge_tpu.models.wan.dit import patchify, unpatchify
 
     b, _, T, H, W = hidden_states.shape
@@ -502,13 +649,25 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
         audio = jnp.concatenate([audio[:, :1], audio], axis=1)
     audio = audio[:, -nt:]
 
+    token_masks = None
+    if ref_target_masks is not None:
+        # [2, H, W] pixel masks -> [2, Nh*Nw] token masks (nearest,
+        # :453-461); both speakers' audio tokens concat per frame (:445)
+        tm = jax.image.resize(ref_target_masks.astype(jnp.float32),
+                              (ref_target_masks.shape[0], nh, nw),
+                              method="nearest")
+        token_masks = (tm > 0).reshape(ref_target_masks.shape[0], -1)
+        audio = audio.transpose(1, 0, 2, 3).reshape(
+            1, nt, -1, cfg.output_dim)             # [1, T, 2M, C_a]
+
     cos, sin = rope_cos_sin(nt, nh, nw, base.head_dim)
 
     def body(carry, layer):
         out = avatar_layer_forward(layer, cfg, carry, t_emb, ctx, kv_lens,
                                    audio, cos, sin, nt, num_cond_latents,
                                    num_ref_latents or 0, ref_img_index,
-                                   mask_frame_range, policy, attn_impl)
+                                   mask_frame_range, token_masks, policy,
+                                   attn_impl)
         return out, None
 
     xN, _ = jax.lax.scan(body, x.astype(jnp.float32), params["blocks"])
