@@ -168,13 +168,14 @@ def _rcu(p, prefix, x):
 
 
 def _resize_bilinear(x, h, w):
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]),
-                            method="bilinear")
+    """align_corners=True (dpt_head.py custom_interpolate + fusion blocks
+    use align_corners; previously a documented half-pixel deviation)."""
+    from worldforge_tpu.ops.sampling import resize_align_corners
+    return resize_align_corners(x, h, w)
 
 
 def _fusion(p, x, residual, size_hw):
-    """FeatureFusionBlock (dpt_head.py:389-456, align_corners=True resize —
-    jax.image bilinear is half-pixel; documented deviation, sub-pixel)."""
+    """FeatureFusionBlock (dpt_head.py:389-456, align_corners=True)."""
     out = x
     if residual is not None:
         out = out + _rcu(p, "rcu1", residual)

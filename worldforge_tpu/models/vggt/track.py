@@ -80,34 +80,8 @@ class TrackHeadConfig:
 # ------------------------------------------------------------- primitives
 
 
-def bilinear_sample(grid: jnp.ndarray, xy: jnp.ndarray,
-                    padding: str = "border") -> jnp.ndarray:
-    """align_corners=True bilinear sampling (utils.py:124-190).
-    grid [M, H, W, C]; xy [M, K, 2] pixel (x, y). padding 'border' clamps,
-    'zeros' zeroes out-of-range contributions."""
-    m, h, w, c = grid.shape
-    x, y = xy[..., 0], xy[..., 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx, wy = x - x0, y - y0
-
-    def gather(xi, yi):
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        vals = jax.vmap(lambda g, yy, xx: g[yy, xx])(grid, yc, xc)  # [M,K,C]
-        if padding == "zeros":
-            ok = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
-            vals = vals * ok[..., None].astype(vals.dtype)
-        return vals
-
-    v00 = gather(x0, y0)
-    v01 = gather(x0 + 1, y0)
-    v10 = gather(x0, y0 + 1)
-    v11 = gather(x0 + 1, y0 + 1)
-    wx = wx[..., None]
-    wy = wy[..., None]
-    return ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
-            + (v10 * (1 - wx) + v11 * wx) * wy)
+from worldforge_tpu.ops.sampling import bilinear_sample  # noqa: F401
+# (moved to ops/sampling.py; re-exported here for existing importers)
 
 
 def sincos_pos_embed_2d(dim: int, gh: int, gw: int) -> np.ndarray:

@@ -74,17 +74,7 @@ def _res_block(p, x, stride):
     return jax.nn.relu(x + y)
 
 
-def resize_align_corners(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """align_corners=True bilinear resize of [B, H, W, C]."""
-    b, ih, iw, c = x.shape
-    if (ih, iw) == (h, w):
-        return x
-    ys = jnp.linspace(0.0, ih - 1.0, h)
-    xs = jnp.linspace(0.0, iw - 1.0, w)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    pts = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)[None]
-    pts = jnp.broadcast_to(pts, (b, h * w, 2))
-    return bilinear_sample(x, pts, padding="border").reshape(b, h, w, c)
+from worldforge_tpu.ops.sampling import resize_align_corners  # noqa: E402,F401
 
 
 def init_basic_encoder(key, dtype=jnp.float32, output_dim: int = 128) -> dict:
