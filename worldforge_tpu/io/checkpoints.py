@@ -91,3 +91,57 @@ def load_longcat_pipeline(checkpoint_dir: Optional[str],
 
     from worldforge_tpu.io.convert_longcat import load_converted_longcat
     return load_converted_longcat(checkpoint_dir, use_distill=use_distill)
+
+
+def load_avatar_pipeline(checkpoint_dir: Optional[str],
+                         random_init: bool = False,
+                         use_distill: bool = False):
+    """Returns (AvatarPipeline, encode_text, encode_audio(wav, n_frames)).
+
+    Converted checkpoints expect <dir>/avatar_dit.safetensors (names per
+    io/convert_longcat.py block mapping + avatar extras), <dir>/vae and
+    <dir>/wav2vec2 (io/convert_wav2vec2.py)."""
+    del use_distill  # distill sigmas handled inside generate
+    from worldforge_tpu.models.encoders.wav2vec2 import Wav2Vec2Config
+    from worldforge_tpu.models.longcat.avatar import (AvatarConfig,
+                                                      init_avatar_dit)
+    from worldforge_tpu.models.longcat.dit import LongCatDiTConfig
+    from worldforge_tpu.pipelines.avatar import (AvatarPipeline,
+                                                 encode_audio_windows)
+
+    if random_init or checkpoint_dir is None:
+        vae_cfg = WanVAEConfig(dim=32, z_dim=16, dim_mult=(1, 2, 2, 2),
+                               num_res_blocks=1)
+        base = LongCatDiTConfig(hidden_size=256, depth=4, num_heads=4,
+                                caption_channels=4096, adaln_tembed_dim=64)
+        cfg = AvatarConfig(base=base, audio_blocks=12, audio_channels=768,
+                           intermediate_dim=128, output_dim=768,
+                           context_tokens=8)
+        w2v_cfg = Wav2Vec2Config(hidden_size=768, num_layers=12,
+                                 num_heads=12, intermediate_size=1536)
+        from worldforge_tpu.models.encoders.wav2vec2 import init_wav2vec2
+
+        params = init_avatar_dit(jax.random.key(0), cfg)
+        vae_params = init_wan_vae(jax.random.key(1), vae_cfg)
+        w2v_params = init_wav2vec2(jax.random.key(2), w2v_cfg)
+        pipe = AvatarPipeline(dit_params=params, dit_cfg=cfg,
+                              vae_params=vae_params, vae_cfg=vae_cfg)
+
+        def encode_text(text: str, max_len: int = 512):
+            emb = _hash_embed(text, (1, max_len, base.caption_channels))
+            n = min(max(len(text) // 4, 1), max_len)
+            mask = jnp.zeros((1, max_len), jnp.int32).at[:, :n].set(1)
+            return emb, mask
+
+        def encode_audio(wav: np.ndarray, num_frames: int,
+                         window: int = cfg.audio_window):
+            return encode_audio_windows(w2v_params, w2v_cfg,
+                                        jnp.asarray(wav), num_frames,
+                                        window=window)
+
+        return pipe, encode_text, encode_audio
+
+    raise NotImplementedError(
+        "converted avatar checkpoints: convert with io/convert_longcat.py "
+        "(avatar extras) + io/convert_wav2vec2.py, then load here — "
+        "pending real-weight validation (round 2)")
