@@ -100,6 +100,46 @@ def convert_wan_dit(sd: Dict[str, np.ndarray], cfg: WanDiTConfig,
     return params
 
 
+def convert_vace(sd: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16) -> dict:
+    """VaceWanModel state dict (wan/modules/vace_model.py:65-135) ->
+    models/wan/vace.py pytree: base WanModel trunk + vace_blocks (block 0
+    has before_proj; all have after_proj) + vace_patch_embedding."""
+    import jax
+
+    params = convert_wan_dit(sd, cfg.base, dtype)
+
+    def attn(prefix):
+        return {"q": _dense(sd, f"{prefix}.q", dtype),
+                "k": _dense(sd, f"{prefix}.k", dtype),
+                "v": _dense(sd, f"{prefix}.v", dtype),
+                "o": _dense(sd, f"{prefix}.o", dtype),
+                "norm_q": _rms(sd, f"{prefix}.norm_q", dtype),
+                "norm_k": _rms(sd, f"{prefix}.norm_k", dtype)}
+
+    vace_blocks = []
+    for n in range(len(cfg.layers)):
+        b = f"vace_blocks.{n}"
+        blk = {
+            "self_attn": attn(f"{b}.self_attn"),
+            "cross_attn": attn(f"{b}.cross_attn"),
+            "norm3": _ln(sd, f"{b}.norm3", dtype),
+            "ffn": {"fc1": _dense(sd, f"{b}.ffn.0", dtype),
+                    "fc2": _dense(sd, f"{b}.ffn.2", dtype)},
+            "modulation": jnp.asarray(sd[f"{b}.modulation"], jnp.float32),
+            "after_proj": _dense(sd, f"{b}.after_proj", dtype),
+        }
+        if n == 0:
+            blk["before_proj"] = _dense(sd, f"{b}.before_proj", dtype)
+        vace_blocks.append(blk)
+    params["vace_blocks"] = vace_blocks
+    params["vace_patch_embedding"] = {
+        "w": jnp.asarray(conv3d_to_patch_dense(
+            sd["vace_patch_embedding.weight"]), dtype),
+        "b": jnp.asarray(sd["vace_patch_embedding.bias"], dtype),
+    }
+    return params
+
+
 # ------------------------------------------------------------------ VAE
 
 
