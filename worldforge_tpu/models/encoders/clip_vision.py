@@ -109,6 +109,7 @@ def clip_vision_hidden(params, cfg: CLIPVisionConfig, pixels: jnp.ndarray,
     h = cfg.heads
 
     def block(x, p):
+        x_in = x                           # emitted: the block INPUT
         y = P.layer_norm(p["ln1"], x, eps=cfg.eps)
         q = P.dense(p["q"], y).reshape(b, -1, h, cfg.width // h)
         k = P.dense(p["k"], y).reshape(b, -1, h, cfg.width // h)
@@ -118,7 +119,7 @@ def clip_vision_hidden(params, cfg: CLIPVisionConfig, pixels: jnp.ndarray,
         y = P.layer_norm(p["ln2"], x, eps=cfg.eps)
         y = P.dense(p["fc1"], y)
         y = y * jax.nn.sigmoid(1.702 * y)  # quick-GELU (CLIP)
-        return x + P.dense(p["fc2"], y), x  # also emit the block INPUT
+        return x + P.dense(p["fc2"], y), x_in
 
     x, inputs = jax.lax.scan(block, x, params["blocks"])
     if penultimate:
