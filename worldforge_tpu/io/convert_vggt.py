@@ -42,10 +42,15 @@ def _vit_block(sd, prefix, dtype, qk_norm=False):
     return p
 
 
-def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
-                 dtype=jnp.float32) -> dict:
-    agg = "aggregator"
-    pe = f"{agg}.patch_embed"
+def convert_vggt_aggregator(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
+                            dtype=jnp.float32,
+                            prefix: str = "aggregator") -> dict:
+    """Aggregator (+ DINOv2 backbone) weights -> pytree. prefix='' for a
+    bare Aggregator state dict."""
+    agg = prefix if prefix else ""
+    dot = "." if agg else ""
+    agg_d = f"{agg}{dot}"
+    pe = f"{agg_d}patch_embed"
     # DINOv2 patch conv [out, 3, 14, 14] -> dense [(ph pw c), out]
     pw = sd[f"{pe}.patch_embed.proj.weight"]
     pw_d = np.transpose(pw, (2, 3, 1, 0)).reshape(-1, pw.shape[0])
@@ -61,17 +66,23 @@ def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
     }
     aggregator = {
         "backbone": backbone,
-        "camera_token": jnp.asarray(sd[f"{agg}.camera_token"], dtype),
-        "register_token": jnp.asarray(sd[f"{agg}.register_token"], dtype),
+        "camera_token": jnp.asarray(sd[f"{agg_d}camera_token"], dtype),
+        "register_token": jnp.asarray(sd[f"{agg_d}register_token"], dtype),
         "frame_blocks": jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
-            *[_vit_block(sd, f"{agg}.frame_blocks.{i}", dtype, qk_norm=True)
+            *[_vit_block(sd, f"{agg_d}frame_blocks.{i}", dtype, qk_norm=True)
               for i in range(cfg.depth)]),
         "global_blocks": jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
-            *[_vit_block(sd, f"{agg}.global_blocks.{i}", dtype, qk_norm=True)
+            *[_vit_block(sd, f"{agg_d}global_blocks.{i}", dtype, qk_norm=True)
               for i in range(cfg.depth)]),
     }
+    return aggregator
+
+
+def convert_vggt(sd: Dict[str, np.ndarray], cfg: VGGTConfig,
+                 dtype=jnp.float32) -> dict:
+    aggregator = convert_vggt_aggregator(sd, cfg, dtype)
 
     ch = "camera_head"
     camera = {

@@ -59,7 +59,8 @@ def camera_head_forward(params, cfg: CameraHeadConfig,
     """camera_tokens [B, S, 2C] (token 0 of the last aggregator layer).
     Returns activated pose encodings [B, S, 9] (last iteration).
     trans/quat linear, fov relu (camera_head.py:73-140)."""
-    x = P.layer_norm(params["token_norm"], camera_tokens.astype(jnp.float32))
+    x = P.layer_norm(params["token_norm"], camera_tokens.astype(jnp.float32),
+                     eps=1e-5)
     b, s, d = x.shape
     pred = None
     for _ in range(num_iterations):
@@ -71,10 +72,10 @@ def camera_head_forward(params, cfg: CameraHeadConfig,
         h = P.layer_norm({}, x, eps=1e-6)
         h = gate * (h * (1 + scale) + shift) + x
         for blk in params["trunk"]:
-            h = vit_block_forward(blk, h, cfg.num_heads)
+            h = vit_block_forward(blk, h, cfg.num_heads, eps=1e-5)
         delta = P.dense(params["branch_fc2"], jax.nn.gelu(
             P.dense(params["branch_fc1"],
-                    P.layer_norm(params["trunk_norm"], h)),
+                    P.layer_norm(params["trunk_norm"], h, eps=1e-5)),
             approximate=False))
         pred = delta if pred is None else pred + delta
     t, quat, fov = pred[..., :3], pred[..., 3:7], pred[..., 7:]
@@ -219,7 +220,7 @@ def dpt_head_forward(params, cfg: DPTHeadConfig,
     feats = []
     for i, tok in enumerate(tapped_tokens):
         x = tok[:, :, patch_start_idx:].reshape(b * s, gh * gw, cfg.dim_in)
-        x = P.layer_norm(params["norm"], x.astype(jnp.float32))
+        x = P.layer_norm(params["norm"], x.astype(jnp.float32), eps=1e-5)
         x = x.reshape(b * s, gh, gw, cfg.dim_in)
         x = _conv2d(params["projects"][i], x)
         if cfg.pos_embed:

@@ -44,7 +44,7 @@ class VGGTConfig:
     num_register_tokens: int = 4
     rope_freq: float = 100.0
     layerscale_init: float = 0.01
-    eps: float = 1e-6
+    eps: float = 1e-5   # aggregator Block norm (torch nn.LayerNorm default; the DINOv2 backbone uses its own 1e-6)
     intermediate_layer_idx: Tuple[int, ...] = (4, 11, 17, 23)
     backbone: DinoViTConfig = dataclasses.field(
         default_factory=DinoViTConfig.vit_large)
