@@ -77,6 +77,9 @@ def conv_to_hwio(w: np.ndarray) -> np.ndarray:
 
 
 def deconv_to_hwio(w: np.ndarray) -> np.ndarray:
-    """ConvTranspose2d [in, out, kh, kw] -> HWIO [kh, kw, in, out] for
-    jax.lax.conv_transpose (which uses the forward-conv kernel layout)."""
-    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+    """ConvTranspose2d [in, out, kh, kw] -> HWIO [kh, kw, in, out],
+    spatially FLIPPED: jax.lax.conv_transpose(transpose_kernel=False) is a
+    fractionally-strided forward conv, whereas torch's ConvTranspose2d is
+    the conv gradient — equivalent only with the kernel mirrored
+    (verified against torch; caught by tests/test_heads_parity.py)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])

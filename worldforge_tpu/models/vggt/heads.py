@@ -162,10 +162,12 @@ def init_dpt_head(key, cfg: DPTHeadConfig, dtype=jnp.float32) -> dict:
 
 
 def _rcu(p, prefix, x):
-    """ResidualConvUnit: relu-conv-relu-conv + skip (dpt_head.py:344-386)."""
-    h = _conv2d(p[f"{prefix}_conv1"], jax.nn.relu(x))
+    """ResidualConvUnit (dpt_head.py:344-386). NB the reference's ReLU is
+    INPLACE, so the skip connection adds relu(x), not x — replicated."""
+    xr = jax.nn.relu(x)
+    h = _conv2d(p[f"{prefix}_conv1"], xr)
     h = _conv2d(p[f"{prefix}_conv2"], jax.nn.relu(h))
-    return x + h
+    return xr + h
 
 
 def _resize_bilinear(x, h, w):
@@ -230,7 +232,10 @@ def dpt_head_forward(params, cfg: DPTHeadConfig,
         elif i == 1:
             x = _deconv2d(params["resize1"], x, 2)
         elif i == 3:
-            x = _conv2d(params["resize3"], x, stride=2)
+            # explicit torch-style padding: XLA SAME is asymmetric for
+            # stride 2 on even sizes (dpt_head.py resize_layers[3])
+            x = _conv2d(params["resize3"], x, stride=2,
+                        padding=((1, 1), (1, 1)))
         feats.append(x)
 
     rn = [_conv2d(params["layer_rn"][i], feats[i]) for i in range(4)]
