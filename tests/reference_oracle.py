@@ -243,6 +243,141 @@ def import_vggt_track():
         "vggt.heads.track_modules.base_track_predictor")
 
 
+def _install_triton_stub():
+    """Decorator-level triton stub so the reference's Triton kernel files
+    import (their kernels are never executed in oracle tests)."""
+    if "triton" in sys.modules:
+        return
+    import importlib.abc
+    import importlib.machinery
+
+    class _AnyMeta(type):
+        """_Any is a TYPE (torch does isinstance checks against triton
+        classes) that also works as a decorator and attribute chain."""
+
+        def __getattr__(cls, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return cls
+
+        def __call__(cls, *a, **k):
+            if len(a) == 1 and callable(a[0]) and not k:
+                return a[0]            # decorator usage (triton.jit)
+            return super().__call__()
+
+    class _Any(metaclass=_AnyMeta):
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return _Any
+
+        def __call__(self, *a, **k):
+            if len(a) == 1 and callable(a[0]) and not k:
+                return a[0]
+            return self
+
+        def __iter__(self):
+            return iter(())
+
+    class _Permissive(types.ModuleType):
+        """Module whose every attribute resolves to the permissive type."""
+
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return _Any
+
+    class _TritonFinder(importlib.abc.MetaPathFinder,
+                        importlib.abc.Loader):
+        def find_spec(self, fullname, path=None, target=None):
+            if fullname == "triton" or fullname.startswith("triton."):
+                return importlib.machinery.ModuleSpec(fullname, self,
+                                                      is_package=True)
+            return None
+
+        def create_module(self, spec):
+            m = _Permissive(spec.name)
+            m.__path__ = []
+            return m
+
+        def exec_module(self, module):
+            module.__version__ = "3.0.0"   # torch checks triton.__version__
+
+    sys.meta_path.insert(0, _TritonFinder())
+
+
+def _install_xformers_stub():
+    """xformers.memory_efficient_attention via torch SDPA (supports the
+    BlockDiagonalMask varlen path used by LongCat cross-attention)."""
+    if "xformers" in sys.modules:
+        return
+    import torch
+
+    xf = types.ModuleType("xformers")
+    ops = types.ModuleType("xformers.ops")
+    fmha = types.ModuleType("xformers.ops.fmha")
+    ab = types.ModuleType("xformers.ops.fmha.attn_bias")
+
+    class BlockDiagonalMask:
+        def __init__(self, q_lens, k_lens):
+            self.q_lens = list(q_lens)
+            self.k_lens = list(k_lens)
+
+        @classmethod
+        def from_seqlens(cls, q_lens, k_lens=None):
+            return cls(q_lens, k_lens if k_lens is not None else q_lens)
+
+    def memory_efficient_attention(q, k, v, attn_bias=None, op=None):
+        # q/k/v: [B, M, H, K]
+        def sdpa(q_, k_, v_):
+            return torch.nn.functional.scaled_dot_product_attention(
+                q_.transpose(1, 2).float(), k_.transpose(1, 2).float(),
+                v_.transpose(1, 2).float()).transpose(1, 2).to(q.dtype)
+
+        if attn_bias is None:
+            return sdpa(q, k, v)
+        outs = []
+        qo = ko = 0
+        for ql, kl in zip(attn_bias.q_lens, attn_bias.k_lens):
+            outs.append(sdpa(q[:, qo:qo + ql], k[:, ko:ko + kl],
+                             v[:, ko:ko + kl]))
+            qo += ql
+            ko += kl
+        return torch.cat(outs, dim=1)
+
+    ops.memory_efficient_attention = memory_efficient_attention
+    ab.BlockDiagonalMask = BlockDiagonalMask
+    fmha.attn_bias = ab
+    ops.fmha = fmha
+    xf.ops = ops
+    sys.modules["xformers"] = xf
+    sys.modules["xformers.ops"] = ops
+    sys.modules["xformers.ops.fmha"] = fmha
+    sys.modules["xformers.ops.fmha.attn_bias"] = ab
+
+
+def import_longcat_dit():
+    """Import the reference LongCat DiT (torch CPU; triton/xformers
+    stubbed — attention runs through the SDPA-backed xformers stub)."""
+    _patch_cuda_autocast()
+    _install_stubs()
+    _install_triton_stub()
+    _install_xformers_stub()
+    base = "/root/reference/longcat_for_worldforge"
+    if base not in sys.path:
+        sys.path.insert(0, base)
+    import importlib
+
+    for name, path in (
+            ("longcat_video", f"{base}/longcat_video"),
+            ("longcat_video.modules", f"{base}/longcat_video/modules")):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    return importlib.import_module("longcat_video.modules.longcat_video_dit")
+
+
 def import_vggsfm_tracker():
     """Import the reference VGGSfM TrackerPredictor (torch CPU; hydra and
     omegaconf are stubbed — only used for config plumbing the default

@@ -1,0 +1,83 @@
+"""LongCat DiT conversion parity vs the reference torch model (SDPA via
+the xformers stub)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from worldforge_tpu.core.dtypes import FP32_POLICY
+from worldforge_tpu.io.convert_longcat import convert_longcat_dit
+from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                               longcat_dit_forward)
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def longcat_ref():
+    from tests.reference_oracle import import_longcat_dit
+    mod = import_longcat_dit()
+    torch.manual_seed(0)
+    ref = mod.LongCatVideoTransformer3DModel(
+        in_channels=4, out_channels=4, hidden_size=64, depth=2, num_heads=2,
+        caption_channels=48, mlp_ratio=4, adaln_tembed_dim=32,
+        frequency_embedding_size=16, cp_split_hw=[1, 1],
+        enable_xformers=True).eval()
+    cfg = LongCatDiTConfig(in_channels=4, out_channels=4, hidden_size=64,
+                           depth=2, num_heads=2, caption_channels=48,
+                           mlp_ratio=4, adaln_tembed_dim=32,
+                           frequency_embedding_size=16)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_longcat_dit(sd, cfg, dtype=jnp.float32)
+    return ref, cfg, params
+
+
+@pytest.mark.parametrize("num_cond", [0, 1])
+def test_longcat_dit_parity(longcat_ref, rng, num_cond):
+    ref, cfg, params = longcat_ref
+    x = rng.standard_normal((1, 4, 3, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 6, 48)).astype(np.float32)
+    mask = np.ones((1, 1, 1, 6), np.int64)
+    t = np.full((1, 3), 700.0, np.float32)
+    if num_cond:
+        t[:, :num_cond] = 0.0
+
+    with torch.no_grad():
+        out_t = ref(torch.tensor(x), torch.tensor(t),
+                    torch.tensor(ctx)[:, None],
+                    encoder_attention_mask=torch.tensor(mask),
+                    num_cond_latents=num_cond).numpy()
+
+    out_j = np.asarray(longcat_dit_forward(
+        params, cfg, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+        encoder_attention_mask=jnp.ones((1, 6), jnp.int32),
+        num_cond_latents=num_cond, policy=FP32_POLICY))
+
+    assert out_t.shape == out_j.shape
+    rel = np.abs(out_t - out_j).max() / (np.abs(out_t).max() + 1e-8)
+    assert rel < 1e-4, rel
+
+
+def test_longcat_dit_parity_varlen_text(longcat_ref, rng):
+    """Masked text tokens (varlen cross-attn packing) must match."""
+    ref, cfg, params = longcat_ref
+    x = rng.standard_normal((2, 4, 3, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((2, 6, 48)).astype(np.float32)
+    mask = np.zeros((2, 6), np.int64)
+    mask[0, :4] = 1
+    mask[1, :6] = 1
+    t = np.full((2, 3), 500.0, np.float32)
+
+    with torch.no_grad():
+        out_t = ref(torch.tensor(x), torch.tensor(t),
+                    torch.tensor(ctx)[:, None],
+                    encoder_attention_mask=torch.tensor(
+                        mask[:, None, None, :]),
+                    num_cond_latents=0).numpy()
+
+    out_j = np.asarray(longcat_dit_forward(
+        params, cfg, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+        encoder_attention_mask=jnp.asarray(mask.astype(np.int32)),
+        num_cond_latents=0, policy=FP32_POLICY))
+    rel = np.abs(out_t - out_j).max() / (np.abs(out_t).max() + 1e-8)
+    assert rel < 1e-4, rel
