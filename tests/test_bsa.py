@@ -45,9 +45,10 @@ def test_select_cdf_counts(rng):
     q = jnp.asarray(rng.standard_normal((1, 512, 16)), jnp.float32)
     idx, cnt = select_blocks(q, q, sparsity=None, cdf_threshold=0.99)
     c = np.asarray(cnt)
-    assert ((1 <= c) & (c <= 4)).all()
-    # threshold ~1 selects everything
-    _, cnt_all = select_blocks(q, q, sparsity=None, cdf_threshold=0.999999)
+    # searchsorted(right) semantics: 0..nk-1 entries below the threshold
+    assert ((0 <= c) & (c <= 4)).all()
+    # threshold > 1 selects everything (cdf sums to 1)
+    _, cnt_all = select_blocks(q, q, sparsity=None, cdf_threshold=1.01)
     assert (np.asarray(cnt_all) == 4).all()
     # combined: at least the top-k floor
     _, cnt_combo = select_blocks(q, q, sparsity=0.5, cdf_threshold=0.01)
@@ -98,3 +99,50 @@ def test_bsa_full_selection_equals_dense(rng):
     ref = sdpa_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_selection_matches_reference(rng):
+    """Block selection vs the reference's pure-torch gating functions
+    (bsa_interface.py:168-288; triton import stubbed)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from tests.reference_oracle import import_longcat_dit
+    import importlib
+
+    import_longcat_dit()   # installs stubs + longcat packages
+    import torch._dynamo
+    torch._dynamo.config.suppress_errors = True   # @torch.compile -> eager
+    bi = importlib.import_module(
+        "longcat_video.block_sparse_attention.bsa_interface")
+
+    import jax.numpy as jnp
+    from worldforge_tpu.ops.bsa import mean_pool_chunks, select_blocks_from_pooled
+
+    q = rng.standard_normal((2, 512, 64)).astype(np.float32)   # [BH, S, D]
+    k = rng.standard_normal((2, 512, 64)).astype(np.float32)
+    qt = torch.tensor(q)[None].transpose(0, 1)   # [B=2, H=1, S, D]? keep BH->B,H=1
+    qt = torch.tensor(q).unsqueeze(1)            # [BH, 1, S, D]
+    kt = torch.tensor(k).unsqueeze(1)
+    with torch.no_grad():
+        qc = bi.mean_pooling_compression(qt, 128)
+        kc = bi.mean_pooling_compression(kt, 128)
+
+    qc_j = mean_pool_chunks(jnp.asarray(q), 128)
+    np.testing.assert_allclose(np.asarray(qc_j), qc[:, 0].numpy(), atol=1e-5)
+
+    for sparsity, cdf in ((0.5, None), (None, 0.7), (0.5, 0.7)):
+        with torch.no_grad():
+            idx_r, len_r = bi.get_select_indices(qc, kc, sparsity, cdf)
+        idx_g, len_g = select_blocks_from_pooled(
+            np.asarray(qc[:, 0]), np.asarray(kc[:, 0]), sparsity=sparsity,
+            cdf_threshold=cdf, head_dim=64)
+        np.testing.assert_array_equal(np.asarray(len_g),
+                                      len_r[:, 0].numpy())
+        # indices must agree over the selected prefix
+        lr = len_r[:, 0].numpy()
+        for b in range(2):
+            for qi in range(idx_r.shape[2]):
+                n = int(lr[b, qi]) if lr.ndim == 2 else int(lr[b, qi])
+                got = set(np.asarray(idx_g[b, qi, :n]).tolist())
+                ref = set(idx_r[b, 0, qi, :n].numpy().tolist())
+                assert got == ref, (sparsity, cdf, b, qi)

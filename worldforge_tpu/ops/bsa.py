@@ -80,9 +80,9 @@ def select_blocks_from_pooled(qc: jnp.ndarray, kc: jnp.ndarray, *,
     order = jnp.argsort(-weights, axis=-1)
     w_sorted = jnp.take_along_axis(weights, order, axis=-1)
     cdf = jnp.cumsum(w_sorted, axis=-1)
-    # searchsorted(right): count = #entries with cdf <= threshold, + 1
-    counts = jnp.sum(cdf <= cdf_threshold, axis=-1).astype(jnp.int32) + 1
-    counts = jnp.minimum(counts, nk)
+    # torch.searchsorted(cdf, thr, right=True) == #entries with cdf <= thr
+    # (get_select_indices_cdf_from_score :234-246 — NO off-by-one)
+    counts = jnp.sum(cdf <= cdf_threshold, axis=-1).astype(jnp.int32)
     if sparsity is not None:
         counts = jnp.maximum(counts, int((1 - sparsity) * nk))
     return order.astype(jnp.int32), counts
