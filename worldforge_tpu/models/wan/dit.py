@@ -183,9 +183,19 @@ def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
                     attn_impl="auto", mesh=None):
     cdt = policy.compute_dtype
     xq = x.astype(cdt)
-    q = P.rms_norm(p["norm_q"], P.dense(p["q"], xq), eps=cfg.eps)
-    k = P.rms_norm(p["norm_k"], P.dense(p["k"], xq), eps=cfg.eps)
-    v = P.dense(p["v"], xq)
+    if "w8" in p["q"]:   # int8 serving: quantize the activations ONCE
+        from worldforge_tpu.ops.quant import (dense_q8_pre,
+                                              quantize_activations)
+        x8, sx = quantize_activations(xq)
+        q = P.rms_norm(p["norm_q"], dense_q8_pre(p["q"], x8, sx, cdt),
+                       eps=cfg.eps)
+        k = P.rms_norm(p["norm_k"], dense_q8_pre(p["k"], x8, sx, cdt),
+                       eps=cfg.eps)
+        v = dense_q8_pre(p["v"], x8, sx, cdt)
+    else:
+        q = P.rms_norm(p["norm_q"], P.dense(p["q"], xq), eps=cfg.eps)
+        k = P.rms_norm(p["norm_k"], P.dense(p["k"], xq), eps=cfg.eps)
+        v = P.dense(p["v"], xq)
     h = cfg.num_heads
     q = apply_rope(_heads(q, h), cos, sin)
     k = apply_rope(_heads(k, h), cos, sin)

@@ -44,20 +44,33 @@ def quantize_dense(p: dict) -> dict:
     return out
 
 
-def dense_q8(p: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
-    """Dynamic-activation int8 matmul: y = (q(x) @ w8) * s_x * s_w + b."""
-    odt = out_dtype or x.dtype
+def quantize_activations(x: jnp.ndarray):
+    """Per-token symmetric int8: returns (x8, scale[..., 1]). Share across
+    several matmuls over the same activations (q/k/v, SwiGLU w1/w3) to
+    avoid redundant HBM passes."""
     xf = x.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    sx = jnp.maximum(sx, 1e-8)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                     1e-8)
     x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return x8, sx
+
+
+def dense_q8_pre(p: dict, x8: jnp.ndarray, sx: jnp.ndarray,
+                 out_dtype=jnp.float32) -> jnp.ndarray:
+    """int8 matmul over pre-quantized activations."""
     acc = lax.dot_general(x8, p["w8"],
-                          (((x.ndim - 1,), (0,)), ((), ())),
+                          (((x8.ndim - 1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx * p["scale"].astype(jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
-    return y.astype(odt)
+    return y.astype(out_dtype)
+
+
+def dense_q8(p: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """Dynamic-activation int8 matmul: y = (q(x) @ w8) * s_x * s_w + b."""
+    x8, sx = quantize_activations(x)
+    return dense_q8_pre(p, x8, sx, out_dtype=out_dtype or x.dtype)
 
 
 def is_quantized(p) -> bool:
