@@ -107,3 +107,43 @@ def test_wan_vae_parity_encode_decode(wan_ref, rng):
                                 mean=mean, std=std))
     err = np.abs(x_t - x_j).max() / (np.abs(x_t).max() + 1e-8)
     assert err < 1e-3, f"decode rel err {err:.2e}"
+
+
+def test_wan_dit_flf2v_parity(wan_ref, rng):
+    """flf2v variant: 2x257 CLIP tokens + positional emb_pos
+    (model.py:359-367, 487-488)."""
+    wan_model, _ = wan_ref
+    torch.manual_seed(2)
+    kw = dict(model_type="flf2v", patch_size=(1, 2, 2), text_len=512,
+              in_dim=12, dim=64, ffn_dim=128, freq_dim=32, text_dim=48,
+              out_dim=4, num_heads=2, num_layers=2)
+    ref = wan_model.WanModel(**kw).eval()
+    with torch.no_grad():
+        ref.head.head.weight.normal_(0, 0.02)
+        ref.img_emb.emb_pos.normal_(0, 0.02)
+
+    from worldforge_tpu.models.wan.dit import WanDiTConfig, wan_dit_forward
+    cfg = WanDiTConfig(**kw)
+    params = convert_wan_dit(_np_sd(ref), cfg, dtype=jnp.float32)
+
+    x = rng.standard_normal((4, 3, 8, 8)).astype(np.float32)
+    y = rng.standard_normal((8, 3, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((512, 48)).astype(np.float32)
+    clip = rng.standard_normal((2, 257, 1280)).astype(np.float32)  # first+last
+    t = 300.0
+
+    with torch.no_grad():
+        # reference stacks first/last CLIP embeds on batch and re-views to
+        # [B, 2*257, d] inside MLPProj (model.py:364-367)
+        out_t = ref([torch.from_numpy(x)], torch.tensor([t]),
+                    [torch.from_numpy(ctx)], seq_len=3 * 4 * 4,
+                    clip_fea=torch.from_numpy(clip),
+                    y=[torch.from_numpy(y)])[0].numpy()
+
+    clip_j = clip.reshape(1, 514, 1280)      # same memory layout
+    out_j = np.asarray(wan_dit_forward(
+        params, cfg, jnp.asarray(x)[None], jnp.asarray([t]),
+        jnp.asarray(ctx)[None], clip_fea=jnp.asarray(clip_j),
+        y=jnp.asarray(y)[None], policy=FP32_POLICY)[0])
+    rel = np.abs(out_t - out_j).max() / (np.abs(out_t).max() + 1e-8)
+    assert rel < 1e-4, rel

@@ -64,7 +64,7 @@ def convert_wan_dit(sd: Dict[str, np.ndarray], cfg: WanDiTConfig,
         layers.append({
             "self_attn": attn(f"{b}.self_attn", False),
             "cross_attn": attn(f"{b}.cross_attn",
-                               cfg.model_type == "i2v"),
+                               cfg.model_type in ("i2v", "flf2v")),
             "norm3": _ln(sd, f"{b}.norm3", dtype),
             "ffn": {"fc1": _dense(sd, f"{b}.ffn.0", dtype),
                     "fc2": _dense(sd, f"{b}.ffn.2", dtype)},
@@ -90,13 +90,16 @@ def convert_wan_dit(sd: Dict[str, np.ndarray], cfg: WanDiTConfig,
             "modulation": jnp.asarray(sd["head.modulation"], jnp.float32),
         },
     }
-    if cfg.model_type == "i2v":
+    if cfg.model_type in ("i2v", "flf2v"):
         params["img_emb"] = {
             "norm_in": _ln(sd, "img_emb.proj.0", dtype),
             "fc1": _dense(sd, "img_emb.proj.1", dtype),
             "fc2": _dense(sd, "img_emb.proj.3", dtype),
             "norm_out": _ln(sd, "img_emb.proj.4", dtype),
         }
+        if "img_emb.emb_pos" in sd:   # flf2v (model.py:359-367)
+            params["img_emb"]["emb_pos"] = jnp.asarray(
+                sd["img_emb.emb_pos"], dtype)
     return params
 
 
