@@ -81,3 +81,41 @@ def test_longcat_dit_parity_varlen_text(longcat_ref, rng):
         num_cond_latents=0, policy=FP32_POLICY))
     rel = np.abs(out_t - out_j).max() / (np.abs(out_t).max() + 1e-8)
     assert rel < 1e-4, rel
+
+
+def test_longcat_kv_cache_parity(longcat_ref, rng):
+    """Cache-cond pass + cached forward vs the reference's return_kv /
+    kv_cache_dict path (longcat_video_dit.py:280-360)."""
+    from worldforge_tpu.models.longcat.dit import (
+        longcat_dit_cache_cond, longcat_dit_forward_with_cache)
+
+    ref, cfg, params = longcat_ref
+    tc, tn = 2, 3
+    cond = rng.standard_normal((1, 4, tc, 8, 8)).astype(np.float32)
+    noise = rng.standard_normal((1, 4, tn, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 6, 48)).astype(np.float32)
+    mask = np.ones((1, 1, 1, 6), np.int64)
+
+    with torch.no_grad():
+        # reference: cache clean cond latents (t=0, skip cross-attn)
+        _, kv_dict = ref(torch.tensor(cond),
+                         torch.tensor(np.zeros((1, tc), np.float32)),
+                         torch.tensor(ctx)[:, None],
+                         encoder_attention_mask=torch.tensor(mask),
+                         num_cond_latents=0, return_kv=True,
+                         skip_crs_attn=True)
+        t_n = torch.tensor(np.full((1, tn), 650.0, np.float32))
+        out_r = ref(torch.tensor(noise), t_n, torch.tensor(ctx)[:, None],
+                    encoder_attention_mask=torch.tensor(mask),
+                    num_cond_latents=tc,
+                    kv_cache_dict=kv_dict).numpy()
+
+    kv = longcat_dit_cache_cond(params, cfg, jnp.asarray(cond),
+                                policy=FP32_POLICY)
+    out_j = np.asarray(longcat_dit_forward_with_cache(
+        params, cfg, jnp.asarray(noise),
+        jnp.full((1, tn), 650.0, jnp.float32), jnp.asarray(ctx), kv, (tc,),
+        encoder_attention_mask=jnp.ones((1, 6), jnp.int32),
+        policy=FP32_POLICY))
+    rel = np.abs(out_r - out_j).max() / (np.abs(out_r).max() + 1e-8)
+    assert rel < 1e-4, rel
