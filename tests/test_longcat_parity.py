@@ -119,3 +119,66 @@ def test_longcat_kv_cache_parity(longcat_ref, rng):
         policy=FP32_POLICY))
     rel = np.abs(out_r - out_j).max() / (np.abs(out_r).max() + 1e-8)
     assert rel < 1e-4, rel
+
+
+def test_lora_merge_matches_reference(longcat_ref, rng, tmp_path):
+    """convert_longcat_lora + merge_lora_stacked vs the reference's
+    load_lora/enable_loras forward patching (lora_utils.py +
+    longcat_video_dit.py:197-270), incl. the n_seperate>1 split-up case
+    and the alpha_scale buffer."""
+    from safetensors.torch import save_file
+
+    from worldforge_tpu.io.convert_longcat import (convert_longcat_lora,
+                                                   merge_lora_stacked)
+
+    ref, cfg, params = longcat_ref
+    r, n_sep = 4, 2
+    hy = "___lorahyphen___"
+    sd_l = {}
+    g = torch.Generator().manual_seed(5)
+
+    def name(path):
+        return "lora" + hy + path.replace(".", hy)
+
+    # blocks.0.attn.qkv: plain lora
+    nm = name("blocks.0.attn.qkv")
+    sd_l[f"{nm}.lora_down.weight"] = torch.randn(r, 64, generator=g) * 0.1
+    sd_l[f"{nm}.lora_up.weight"] = torch.randn(192, r, generator=g) * 0.1
+    sd_l[f"{nm}.alpha_scale"] = torch.tensor(64.0 / r)
+    # blocks.1.ffn.w1: n_seperate=2 split up-projection
+    out_dim = ref.blocks[1].ffn.w1.out_features
+    nm2 = name("blocks.1.ffn.w1")
+    sd_l[f"{nm2}.lora_down.weight"] = torch.randn(n_sep * r, 64,
+                                                  generator=g) * 0.1
+    for j in range(n_sep):
+        sd_l[f"{nm2}.lora_up.blocks.{j}.weight"] = torch.randn(
+            out_dim // n_sep, r, generator=g) * 0.1
+    sd_l[f"{nm2}.alpha_scale"] = torch.tensor(64.0 / r)
+
+    path = str(tmp_path / "lora.safetensors")
+    save_file({k: v.contiguous() for k, v in sd_l.items()}, path)
+
+    ref.load_lora(path, "t", multiplier=0.7, lora_network_dim=r,
+                  lora_network_alpha=64)
+    ref.enable_loras(["t"])
+
+    x = rng.standard_normal((1, 4, 3, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 6, 48)).astype(np.float32)
+    mask = np.ones((1, 1, 1, 6), np.int64)
+    t = np.full((1, 3), 400.0, np.float32)
+    with torch.no_grad():
+        out_r = ref(torch.tensor(x), torch.tensor(t),
+                    torch.tensor(ctx)[:, None],
+                    encoder_attention_mask=torch.tensor(mask),
+                    num_cond_latents=0).numpy()
+    ref.disable_all_loras()
+
+    lora = convert_longcat_lora(
+        {k: v.numpy() for k, v in sd_l.items()}, multiplier=0.7)
+    merged = merge_lora_stacked(params, lora)
+    out_j = np.asarray(longcat_dit_forward(
+        merged, cfg, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+        encoder_attention_mask=jnp.ones((1, 6), jnp.int32),
+        num_cond_latents=0, policy=FP32_POLICY))
+    rel = np.abs(out_r - out_j).max() / (np.abs(out_r).max() + 1e-8)
+    assert rel < 1e-4, rel

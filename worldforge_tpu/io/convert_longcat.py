@@ -83,13 +83,38 @@ def convert_longcat_lora(sd: Dict[str, np.ndarray],
     downs = {k: v for k, v in sd.items() if k.endswith("lora_down.weight")}
     for dkey, down in downs.items():
         base = dkey[: -len(".lora_down.weight")]
-        up = sd[f"{base}.lora_up.weight"]
-        alpha = float(sd.get(f"{base}.alpha", network_alpha))
+        down = np.asarray(down)
+        if f"{base}.lora_up.weight" in sd:
+            up = np.asarray(sd[f"{base}.lora_up.weight"]).T   # [r, out]
+            rank = down.shape[0]
+        else:
+            # n_seperate > 1: lora_up.blocks.N are per-output-chunk ups
+            # (lora_utils.py:15-24); build the block-diagonal up so that
+            # up @ down reproduces LoRAUPParallel(chunk(down(x)))
+            blocks = []
+            n = 0
+            while f"{base}.lora_up.blocks.{n}.weight" in sd:
+                blocks.append(np.asarray(
+                    sd[f"{base}.lora_up.blocks.{n}.weight"]).T)
+                n += 1
+            rank = down.shape[0] // n
+            od = blocks[0].shape[1]
+            up = np.zeros((down.shape[0], od * n), down.dtype)
+            for j, blk in enumerate(blocks):
+                up[j * rank:(j + 1) * rank, j * od:(j + 1) * od] = blk
+        # merge_lora divides alpha by the TOTAL down rank (n*r), so store
+        # alpha such that alpha / (n*r) == the true per-block alpha/r scale
+        total = down.shape[0]
+        if f"{base}.alpha_scale" in sd:   # this repo's buffer (= alpha/dim)
+            alpha = float(sd[f"{base}.alpha_scale"]) * total
+        else:
+            alpha = float(sd.get(f"{base}.alpha", network_alpha)) \
+                * (total // rank)
         name = base.replace("lora___lorahyphen___", "").replace(
             "___lorahyphen___", ".")
         out[name] = {
             "down": jnp.asarray(np.ascontiguousarray(down.T), jnp.float32),
-            "up": jnp.asarray(np.ascontiguousarray(up.T), jnp.float32),
+            "up": jnp.asarray(np.ascontiguousarray(up), jnp.float32),
             "alpha": alpha, "multiplier": multiplier,
         }
     return out
