@@ -34,3 +34,25 @@ def test_flow_metric_matches_reference(rng):
     ones = np.asarray(_flow_similarity_scores(jnp.asarray(ref_f),
                                               jnp.asarray(ref_f)))
     np.testing.assert_allclose(ones, 1.0, atol=1e-4)
+
+
+def test_wan_selection_schedule_matches_reference(rng):
+    """Schedule parity (reference :404-437) with canned similarity scores
+    injected via instance monkeypatching (the read-only module is not
+    modified)."""
+    from tests.reference_oracle import import_wan_scheduler
+    from worldforge_tpu.sampling.channel_select import select_channels_wan
+
+    mod = import_wan_scheduler()
+    sel = mod.VideoMotionPCASelector()
+    dummy = torch.zeros(1, 16, 3, 4, 4)
+
+    for trial in range(20):
+        scores = rng.uniform(0, 1, 16).astype(np.float64)
+        sel._compute_channel_correlations = \
+            lambda *a, **k: scores.tolist()
+        for step in (0, 1, 2, 5, 6, 10, 11, 25, 49):
+            ref = sel.select_motion_related_channels(
+                dummy, dummy, current_step=step)
+            got = select_channels_wan(scores, step)
+            assert got == ref, (trial, step, got, ref)
