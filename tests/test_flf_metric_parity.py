@@ -56,3 +56,47 @@ def test_wan_selection_schedule_matches_reference(rng):
                 dummy, dummy, current_step=step)
             got = select_channels_wan(scores, step)
             assert got == ref, (trial, step, got, ref)
+
+
+def test_longcat_selection_schedule_matches_reference(rng):
+    """LongCat schedule parity (longcat scheduler :326-381) with canned
+    scores, both distill modes and max_replace overrides; the device mask
+    must agree with the host list."""
+    import jax.numpy as jnp
+    from tests.reference_oracle import import_longcat_scheduler
+    from worldforge_tpu.sampling.channel_select import (
+        select_channels_longcat, select_mask_longcat_device)
+
+    mod = import_longcat_scheduler()
+    sel = mod.VideoMotionChannelSelector()
+    dummy = torch.zeros(1, 16, 3, 4, 4)
+
+    for trial in range(15):
+        scores = rng.uniform(0, 1, 16).astype(np.float64)
+
+        def make_metric(sc):
+            state = {"i": 0}
+
+            def metric(*a, **k):
+                v = float(sc[state["i"] % len(sc)])
+                state["i"] += 1
+                return v
+
+            return metric
+
+        for distill in (False, True):
+            for mr in (None, 4):
+                for step in (0, 1, 2, 3, 4, 5, 6, 10, 15):
+                    sel.use_optical_flow = False
+                    sel._compute_flow_metrics = make_metric(scores)
+                    ref = sel.select_motion_related_channels(
+                        dummy, dummy, current_step=step,
+                        use_distill=distill, max_replace_threshold=mr)
+                    got = select_channels_longcat(scores, step, distill,
+                                                  max_replace=mr)
+                    assert got == ref, (trial, step, distill, mr, got, ref)
+                    dev = np.asarray(select_mask_longcat_device(
+                        jnp.asarray(scores, jnp.float32),
+                        jnp.asarray(step), distill, max_replace=mr))
+                    assert sorted(np.nonzero(dev)[0].tolist()) == ref, \
+                        (trial, step, distill, mr)

@@ -109,15 +109,26 @@ def select_channels_wan(scores: np.ndarray, current_step: int) -> List[int]:
 def select_channels_longcat(scores: np.ndarray, current_step: int,
                             distill: bool, max_replace: Optional[int] = None
                             ) -> List[int]:
-    """LongCat schedule (longcat scheduler :332-377)."""
-    if current_step < 1:
+    """LongCat schedule (longcat scheduler :326-381): warmup takes the
+    single worst channel; afterwards the Wan-style mean-0.625*std threshold
+    applies with min_replace=1 and a distill/standard max_replace clamp."""
+    if current_step < 2:
         return []
     order = np.argsort(scores)
-    if distill:
-        n = 1 if current_step <= 3 else (max_replace if max_replace is not None else 3)
+    warm = current_step <= (3 if distill else 5)
+    if warm:
+        return sorted(int(i) for i in order[:1].tolist())
+    max_n = max_replace if max_replace is not None else (3 if distill else 1)
+    threshold = scores.mean() - 0.625 * scores.std()
+    below = [i for i, s in enumerate(scores) if s < threshold]
+    if len(below) < 1:
+        sel = order[:1].tolist()
+    elif len(below) > max_n:
+        below.sort(key=lambda i: scores[i])
+        sel = below[:max_n]
     else:
-        n = 1 if current_step <= 5 else (max_replace if max_replace is not None else 1)
-    return sorted(int(i) for i in order[:n].tolist())
+        sel = below
+    return sorted(int(i) for i in sel)
 
 
 def select_mask_wan_device(scores: jnp.ndarray, step: jnp.ndarray
@@ -155,15 +166,16 @@ def select_mask_longcat_device(scores: jnp.ndarray, step: jnp.ndarray,
     order = jnp.argsort(scores)
     ranks = jnp.zeros((c,), jnp.int32).at[order].set(
         jnp.arange(c, dtype=jnp.int32))
-    if distill:
-        n_late = max_replace if max_replace is not None else 3
-        early = step <= 3
-    else:
-        n_late = max_replace if max_replace is not None else 1
-        early = step <= 5
-    n = jnp.where(early, 1, n_late)
-    mask = ranks < n
-    mask = jnp.where(step < 1, jnp.zeros((c,), bool), mask)
+    n_late = max_replace if max_replace is not None else (3 if distill else 1)
+    early = step <= (3 if distill else 5)
+    thr = jnp.mean(scores) - 0.625 * jnp.std(scores)
+    below = scores < thr
+    nbelow = jnp.sum(below.astype(jnp.int32))
+    sel_late = jnp.where(
+        nbelow < 1, ranks < 1,
+        jnp.where(nbelow > n_late, below & (ranks < n_late), below))
+    mask = jnp.where(early, ranks < 1, sel_late)
+    mask = jnp.where(step < 2, jnp.zeros((c,), bool), mask)
     return mask.astype(jnp.float32)
 
 
