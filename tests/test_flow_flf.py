@@ -66,7 +66,9 @@ def test_longcat_selection_schedule():
     assert select_channels_longcat(scores, 10, distill=False) == [1]
     assert select_channels_longcat(scores, 10, distill=False, max_replace=2) == [1, 3]
     assert select_channels_longcat(scores, 2, distill=True) == [1]
-    assert select_channels_longcat(scores, 10, distill=True) == [1, 2, 3]
+    # distill late: threshold picks {1, 3} (mean-0.625*std = 0.277),
+    # within max_replace=3 — oracle-verified in test_flf_metric_parity
+    assert select_channels_longcat(scores, 10, distill=True) == [1, 3]
 
 
 def test_apply_channel_replacement(rng):
