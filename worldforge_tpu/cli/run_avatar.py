@@ -47,8 +47,6 @@ def main(argv=None) -> None:
 
     from worldforge_tpu.io.checkpoints import load_avatar_pipeline
     from worldforge_tpu.io.frames import export_video, load_image
-    from worldforge_tpu.models.encoders.wav2vec2 import get_audio_windows
-    from worldforge_tpu.pipelines.avatar import encode_audio_windows
     from worldforge_tpu.utils.prompts import get_negative_prompt
 
     pipe, encode_text, encode_audio = load_avatar_pipeline(
