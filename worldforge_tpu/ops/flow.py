@@ -132,19 +132,53 @@ def optical_flow(i1: jnp.ndarray, i2: jnp.ndarray, *, levels: int = 3,
     return jnp.stack([u, v], axis=1)
 
 
-def video_channel_flows(video: jnp.ndarray, *, levels: int = 3,
-                        iters: int = 3) -> jnp.ndarray:
+def video_channel_flows(video: jnp.ndarray, *, method: str = "farneback",
+                        levels: int = 3, iters: int = 3) -> jnp.ndarray:
     """Per-channel frame-pair flows for a latent video [B, C, T, H, W]
     (normalized to [0,1] per tensor like the reference's per-tensor global
     min/max scaling, scheduling_unipc:384-389). Returns [B, C, T-1, 2, H, W].
+
+    method="farneback" (default) runs ops/farneback.py — the reference's
+    exact algorithm (cv2 parity <1e-3), including its uint8 frame
+    quantization (scheduling_unipc:175-176). method="lk" keeps the faster
+    pyramidal Lucas-Kanade approximation.
     """
+    return video_channel_flows_pair(video, method=method, levels=levels,
+                                    iters=iters)[0]
+
+
+def _norm_frame_pairs(video: jnp.ndarray, quantize: bool):
+    """Per-tensor global min/max normalization + frame pairing.
+    Returns (i1, i2) of shape [B*C*(T-1), H, W]."""
     b, c, t, h, w = video.shape
     vf = video.astype(jnp.float32)
     vmin = jnp.min(vf)
     vrange = jnp.max(vf) - vmin + 1e-8
-    vf = (vf - vmin) / vrange * 255.0  # match uint8 scale (no quantization)
-    frames = vf.transpose(0, 1, 2, 3, 4).reshape(b * c, t, h, w)
+    vf = (vf - vmin) / vrange * 255.0
+    if quantize:
+        vf = jnp.floor(vf)  # (v*255).astype(uint8) truncation
+    frames = vf.reshape(b * c, t, h, w)
     i1 = frames[:, :-1].reshape(b * c * (t - 1), h, w)
     i2 = frames[:, 1:].reshape(b * c * (t - 1), h, w)
-    fl = optical_flow(i1, i2, levels=levels, iters=iters)
-    return fl.reshape(b, c, t - 1, 2, h, w)
+    return i1, i2
+
+
+def video_channel_flows_pair(*videos: jnp.ndarray, method: str = "farneback",
+                             levels: int = 3, iters: int = 3):
+    """Per-channel frame-pair flows for one or more same-shape videos,
+    batched through a single device call (each video normalized by its own
+    global min/range, as the reference does for pred vs ref). Returns a
+    tuple of [B, C, T-1, 2, H, W] arrays, one per input."""
+    b, c, t, h, w = videos[0].shape
+    quant = method == "farneback"
+    pairs = [_norm_frame_pairs(v, quant) for v in videos]
+    i1 = jnp.concatenate([p[0] for p in pairs])
+    i2 = jnp.concatenate([p[1] for p in pairs])
+    if method == "farneback":
+        from worldforge_tpu.ops.farneback import farneback_flow
+        fl = farneback_flow(i1, i2).transpose(0, 3, 1, 2)  # [N, 2, H, W]
+    else:
+        fl = optical_flow(i1, i2, levels=levels, iters=iters)
+    n = b * c * (t - 1)
+    return tuple(fl[i * n:(i + 1) * n].reshape(b, c, t - 1, 2, h, w)
+                 for i in range(len(videos)))

@@ -101,7 +101,7 @@ class LongCatPipeline:
                       flow_shift: float, use_distill: bool, do_cfg: bool,
                       guided_on: bool, gscale: float):
         """One cached jit program for the whole i2v denoise loop."""
-        from worldforge_tpu.ops.flow import video_channel_flows
+        from worldforge_tpu.ops.flow import video_channel_flows_pair
         from worldforge_tpu.sampling.channel_select import (
             _flow_similarity_scores, select_mask_longcat_device)
         from worldforge_tpu.sampling.engine import longcat_denoise_scan
@@ -142,8 +142,7 @@ class LongCatPipeline:
                         lambda v: _e(vae_params, self.vae_cfg, v))
                     if guidance.use_flf:
                         scores = _flow_similarity_scores(
-                            video_channel_flows(pre),
-                            video_channel_flows(fused))
+                            *video_channel_flows_pair(pre, fused))
                         m = select_mask_longcat_device(
                             scores, step, guidance.distill,
                             guidance.max_replace)

@@ -110,7 +110,7 @@ class WanI2VPipeline:
         static config; shapes key the XLA cache underneath)."""
         from worldforge_tpu.sampling.channel_select import (
             select_mask_wan_device, _flow_similarity_scores)
-        from worldforge_tpu.ops.flow import video_channel_flows
+        from worldforge_tpu.ops.flow import video_channel_flows_pair
         from worldforge_tpu.sampling.engine import wan_denoise_scan
 
         cfg = self.dit_cfg
@@ -148,8 +148,7 @@ class WanI2VPipeline:
                 if guidance.use_flf:
                     def flf_fn(pre, fused_x0, step):
                         scores = _flow_similarity_scores(
-                            video_channel_flows(pre),
-                            video_channel_flows(fused_x0))
+                            *video_channel_flows_pair(pre, fused_x0))
                         m = select_mask_wan_device(scores, step)
                         m = m[None, :, None, None, None]
                         return fused_x0 * (1.0 - m) + pre * m

@@ -76,8 +76,8 @@ def channel_similarities(pred_x0: jnp.ndarray,
                          use_optical_flow: bool = True) -> np.ndarray:
     """Per-channel flow-similarity scores [C] (host numpy)."""
     if use_optical_flow:
-        pf = video_channel_flows(pred_x0)
-        rf = video_channel_flows(ref_latents)
+        from worldforge_tpu.ops.flow import video_channel_flows_pair
+        pf, rf = video_channel_flows_pair(pred_x0, ref_latents)
     else:
         pf = _temporal_diff_motion(pred_x0)
         rf = _temporal_diff_motion(ref_latents)
