@@ -221,7 +221,7 @@ def avatar_self_attention(p, cfg: AvatarConfig, x_m, cos, sin, T: int,
     All indices are static python ints — each partition is its own SDPA
     call, fused by XLA."""
     from worldforge_tpu.models.longcat.dit import _heads_hd, _rms_hd
-    from worldforge_tpu.ops.rope import apply_rope
+    from worldforge_tpu.ops.rope import apply_rope_qk
 
     base = cfg.base
     b, n, c = x_m.shape
@@ -233,8 +233,7 @@ def avatar_self_attention(p, cfg: AvatarConfig, x_m, cos, sin, T: int,
     q = _rms_hd(p["q_norm"], _heads_hd(q, h), base.eps)
     k = _rms_hd(p["k_norm"], _heads_hd(k, h), base.eps)
     v = _heads_hd(v, h)
-    q = apply_rope(q, cos, sin, out_dtype=cdt)
-    k = apply_rope(k, cos, sin, out_dtype=cdt)
+    q, k = apply_rope_qk(q, k, cos, sin, out_dtype=cdt)
 
     attn = lambda q_, k_, v_: attention(q_, k_, v_, impl=attn_impl)
     nr = num_ref_latents * sf
@@ -479,7 +478,8 @@ def avatar_dit_forward_with_cache(params, cfg: AvatarConfig, hidden_states,
     from worldforge_tpu.models.wan.dit import patchify, unpatchify
     from worldforge_tpu.models.longcat.dit import (_cross_attention_lc,
                                                    timestep_embedding)
-    from worldforge_tpu.ops.rope import apply_rope, rope_cos_sin
+    from worldforge_tpu.ops.rope import (apply_rope, apply_rope_qk,
+                                         rope_cos_sin)
 
     base = cfg.base
     b, _, T, H, W = hidden_states.shape

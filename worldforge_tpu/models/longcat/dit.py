@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from worldforge_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from worldforge_tpu.core import params as P
 from worldforge_tpu.ops.attention import attention
-from worldforge_tpu.ops.rope import apply_rope, rope_cos_sin
+from worldforge_tpu.ops.rope import (apply_rope, apply_rope_qk,
+    rope_cos_sin)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,8 +173,7 @@ def _self_attention_lc(p, cfg, x_m, cos, sin, T, num_cond_latents,
     q = _rms_hd(p["q_norm"], _heads_hd(q, h), cfg.eps)
     k = _rms_hd(p["k_norm"], _heads_hd(k, h), cfg.eps)
     v = _heads_hd(v, h)
-    q = apply_rope(q, cos, sin, out_dtype=cdt)
-    k = apply_rope(k, cos, sin, out_dtype=cdt)
+    q, k = apply_rope_qk(q, k, cos, sin, out_dtype=cdt)
 
     if bsa_params is not None and grid3d is not None and grid3d[0] > 1:
         # block-sparse path (720p refine, attention.py:58-66); with an sp
@@ -392,8 +392,7 @@ def longcat_dit_cache_cond(params, cfg: LongCatDiTConfig, cond_latents,
         v_h = _heads_hd(v, h)
         kv = jnp.stack([k.astype(jnp.float32), v_h.astype(jnp.float32)])
         # continue the forward so later layers cache the right activations
-        qr = apply_rope(q, cos, sin, out_dtype=cdt)
-        kr = apply_rope(k, cos, sin, out_dtype=cdt)
+        qr, kr = apply_rope_qk(q, k, cos, sin, out_dtype=cdt)
         o = attention(qr, kr, v_h.astype(cdt))
         o = P.dense(layer["attn_proj"],
                     o.reshape(xf.shape[0], xf.shape[1], cfg.hidden_size)

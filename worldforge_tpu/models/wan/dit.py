@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from worldforge_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from worldforge_tpu.core import params as P
 from worldforge_tpu.ops.attention import attention
-from worldforge_tpu.ops.rope import apply_rope, rope_cos_sin
+from worldforge_tpu.ops.rope import apply_rope_qk, rope_cos_sin
 
 CLIP_TOKENS = 257  # i2v CLIP image context tokens (model.py:14-15: 257 for i2v)
 
@@ -197,8 +197,7 @@ def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
         k = P.rms_norm(p["norm_k"], P.dense(p["k"], xq), eps=cfg.eps)
         v = P.dense(p["v"], xq)
     h = cfg.num_heads
-    q = apply_rope(_heads(q, h), cos, sin)
-    k = apply_rope(_heads(k, h), cos, sin)
+    q, k = apply_rope_qk(_heads(q, h), _heads(k, h), cos, sin)
     if mesh is not None and mesh.shape.get("sp", 1) > 1:
         from worldforge_tpu.parallel.ulysses import ulysses_attention
         o = ulysses_attention(q, k, _heads(v, h), mesh=mesh, impl=attn_impl)
