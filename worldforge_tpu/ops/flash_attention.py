@@ -21,18 +21,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tuned on TPU v5e at Wan-480p shape (S=20480, H=40, D=128): sweep
-# (1024,1024)=76.3ms, (2048,1024)=73.6-75.6ms, (1024,2048)=75.5ms,
-# (2048,512)=116.7ms; 4096-row blocks fail to compile. (2048, 1024)
-# hits ~115 TFLOP/s vs ~130 TFLOP/s dense-matmul peak on the same chip.
+# Tuned on TPU v5e at Wan-480p shape (S=20480, H=40, D=128). Two-level kv
+# blocking like the official TPU flash kernel: HBM tiles of block_k_major,
+# compute in unrolled block_k chunks. Interleaved A/B at the Wan shape:
+# 86.4 ms (this) vs 91.6 ms (single-level kv + lane-sliced m/l), ~6%.
 DEFAULT_BLOCK_Q = 2048
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K_MAJOR = 1024
+DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30  # finite "minus infinity": keeps exp() NaN-free on padding
 
 
 def _fa_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
                m_ref, l_ref, acc_ref, *,
-               scale: float, block_k: int, num_heads: int):
+               scale: float, block_k_major: int, block_k: int,
+               num_heads: int):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     b = pl.program_id(0) // num_heads
@@ -44,54 +46,66 @@ def _fa_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Skip blocks that are entirely past the valid kv length.
-    @pl.when(ki * block_k < kv_len)
+    # Skip major blocks entirely past the valid kv length. Lane-friendly
+    # online softmax (official TPU kernel idiom): m/l stay 128 lanes wide —
+    # never lane-slice ``[:, :1]`` (forces relayouts) — and the accumulator
+    # is kept normalized incrementally so the epilogue is a plain copy.
+    @pl.when(ki * block_k_major < kv_len)
     def _body():
         q = q_ref[0]  # [block_q, D]
-        k = k_ref[0]  # [block_k, D]
-        v = v_ref[0]  # [block_k, D]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+        bk_rep = block_k // 128
 
-        key_idx = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+        @pl.loop(0, block_k_major, step=block_k, unroll=True)
+        def _inner(start_k):
+            k = k_ref[0, pl.dslice(start_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [bq, bk]
+            key_idx = (ki * block_k_major + start_k +
+                       jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(key_idx < kv_len, s, _NEG_INF)
 
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+            m_prev = m_ref[:]                      # [bq, 128]
+            l_prev = l_ref[:]
+            m_cur = jnp.max(s, axis=1)[:, None]    # [bq, 1]
+            m_next = jnp.maximum(m_prev, m_cur)    # [bq, 128]
+            p = jnp.exp(s - jnp.tile(m_next, (1, bk_rep)))
+            alpha = jnp.exp(m_prev - m_next)
+            l_corr = alpha * l_prev
+            l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+            m_ref[:] = m_next
+            l_ref[:] = l_next
+            l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+            v = v_ref[0, pl.dslice(start_k, block_k), :]
+            d_rep = acc_ref.shape[-1] // 128
+            acc_ref[:] = acc_ref[:] * jnp.tile(l_corr * l_inv, (1, d_rep))
+            acc_ref[:] += jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * jnp.tile(
+                    l_inv, (1, d_rep))
 
     @pl.when(ki == nk - 1)
     def _finish():
-        l = jnp.maximum(l_ref[:, :1], 1e-20)
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "num_heads", "interpret"))
-def _flash_attention_bhsd(q, k, v, kv_lens, *, scale, block_q, block_k,
-                          num_heads, interpret=False):
+    static_argnames=("scale", "block_q", "block_k_major", "block_k",
+                     "num_heads", "interpret"))
+def _flash_attention_bhsd(q, k, v, kv_lens, *, scale, block_q, block_k_major,
+                          block_k, num_heads, interpret=False):
     """q: [BH, Sq, D], k/v: [BH, Sk, D] (padded), kv_lens: [B] int32."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     nq = sq // block_q
-    nk = sk // block_k
+    nk = sk // block_k_major
 
     grid = (bh, nq, nk)
     kernel = functools.partial(
-        _fa_kernel, scale=scale, block_k=block_k, num_heads=num_heads)
+        _fa_kernel, scale=scale, block_k_major=block_k_major,
+        block_k=block_k, num_heads=num_heads)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -99,8 +113,10 @@ def _flash_attention_bhsd(q, k, v, kv_lens, *, scale, block_q, block_k,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda b, qi, ki, _: (b, qi, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, qi, ki, _: (b, ki, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, qi, ki, _: (b, ki, 0)),
+                pl.BlockSpec((1, block_k_major, d),
+                             lambda b, qi, ki, _: (b, ki, 0)),
+                pl.BlockSpec((1, block_k_major, d),
+                             lambda b, qi, ki, _: (b, ki, 0)),
             ],
             out_specs=pl.BlockSpec((1, block_q, d),
                                    lambda b, qi, ki, _: (b, qi, 0)),
@@ -129,6 +145,7 @@ def _round_up(x: int, m: int) -> int:
 
 def flash_attention(q, k, v, *, kv_lens=None, scale=None,
                     block_q: int = DEFAULT_BLOCK_Q,
+                    block_k_major: int = DEFAULT_BLOCK_K_MAJOR,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret=None):
     """Flash attention over [B, S, H, D] tensors (reference layout,
@@ -149,9 +166,12 @@ def flash_attention(q, k, v, *, kv_lens=None, scale=None,
     kv_lens = kv_lens.astype(jnp.int32)
 
     block_q = min(block_q, _round_up(sq, 128))
-    block_k = min(block_k, _round_up(sk, 128))
+    block_k_major = min(block_k_major, _round_up(sk, 128))
+    block_k = min(block_k, block_k_major)
+    if block_k_major % block_k:
+        block_k = block_k_major  # inner loop needs an even chunking
     sq_p = _round_up(sq, block_q)
-    sk_p = _round_up(sk, block_k)
+    sk_p = _round_up(sk, block_k_major)
     d_p = _round_up(d, 128)
 
     def pad(x, s_to, d_to):
@@ -163,7 +183,8 @@ def flash_attention(q, k, v, *, kv_lens=None, scale=None,
     vp = pad(v, sk_p, d_p).transpose(0, 2, 1, 3).reshape(b * h, sk_p, d_p)
     # kv_lens covers real (unpadded) keys only; padded keys masked by kernel.
     o = _flash_attention_bhsd(qp, kp, vp, kv_lens, scale=float(scale),
-                              block_q=block_q, block_k=block_k, num_heads=h,
+                              block_q=block_q, block_k_major=block_k_major,
+                              block_k=block_k, num_heads=h,
                               interpret=interpret)
     o = o.reshape(b, h, sq_p, d_p).transpose(0, 2, 1, 3)
     return o[:, :sq, :, :d]
