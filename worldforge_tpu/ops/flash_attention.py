@@ -170,6 +170,16 @@ def flash_attention(q, k, v, *, kv_lens=None, scale=None,
     block_k = min(block_k, block_k_major)
     if block_k_major % block_k:
         block_k = block_k_major  # inner loop needs an even chunking
+
+    # VMEM-aware clamp: the defaults are tuned for bf16 d=128. fp32 inputs
+    # with wide head dims (e.g. the VAE's single-head spatial attention,
+    # d=384 fp32) blow the 16 MB scoped-vmem budget (observed 20.5 MB at
+    # the defaults); shrink block_q proportionally to the per-row tile
+    # footprint, floored at 512 (which compiles at fp32 d=384).
+    footprint = jnp.dtype(q.dtype).itemsize * _round_up(d, 128)
+    if footprint > 2 * 256:   # > 2x the tuned bf16-d128 point
+        block_q = max(512, min(block_q, _round_up(
+            block_q * 256 // footprint, 128)))
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k_major)
     d_p = _round_up(d, 128)
