@@ -135,24 +135,34 @@ def _bsa_kernel(idx_ref, cnt_ref, q_ref, *kv_and_out, scale: float,
                                 preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // CHUNK_K
         s = jnp.where(ki * g + col < cnt, s, _NEG_INF)
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        # Lane-friendly online softmax (same idiom as flash_attention.py):
+        # m/l stay 128 lanes wide, the accumulator is kept normalized
+        # incrementally, and the epilogue is a plain copy.
+        s_rep = s.shape[1] // 128
+        d = acc_ref.shape[-1]
+        if d >= 128:
+            d_bcast = lambda t: jnp.tile(t, (1, d // 128))
+        else:
+            d_bcast = lambda t: t[:, :d]
+        m_prev = m_ref[:]
+        l_prev = l_ref[:]
+        m_cur = jnp.max(s, axis=1)[:, None]
         m_next = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - jnp.tile(m_next, (1, s_rep)))
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_ref[:] = jnp.broadcast_to(alpha * l_prev
-                                    + jnp.sum(p, axis=1, keepdims=True),
-                                    l_ref.shape)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        l_corr = alpha * l_prev
+        l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+        m_ref[:] = m_next
+        l_ref[:] = l_next
+        l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+        acc_ref[:] = acc_ref[:] * d_bcast(l_corr * l_inv)
+        acc_ref[:] += jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+            preferred_element_type=jnp.float32) * d_bcast(l_inv)
 
     @pl.when(ki == nk - 1)
     def _finish():
-        l = jnp.maximum(l_ref[:, :1], 1e-20)
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
         if with_lse:
             m_out[0] = m_ref[:]
             l_out[0] = l_ref[:]
