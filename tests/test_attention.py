@@ -55,3 +55,22 @@ def test_dispatcher_reference_on_cpu(rng):
     out = attention(q, k, v)  # CPU -> reference path
     ref = sdpa_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_return_lse_matches_manual_softmax_stats(rng):
+    """(o, m, l) from return_lse must satisfy the LSE-merge contract:
+    o normalized, m the row max of scaled scores, l the softmax mass at m."""
+    q, k, v = _rand_qkv(rng, 2, 256, 384, 2, 64)
+    scale = 0.125
+    out, m, l = flash_attention(q, k, v, scale=scale, return_lse=True)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    m_ref = jnp.max(s, axis=-1)
+    l_ref = jnp.sum(jnp.exp(s - m_ref[..., None]), axis=-1)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref),
+                               atol=1e-4, rtol=1e-4)
+    ref = sdpa_reference(q, k, v, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)

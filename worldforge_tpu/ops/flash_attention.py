@@ -31,10 +31,13 @@ DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30  # finite "minus infinity": keeps exp() NaN-free on padding
 
 
-def _fa_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
-               m_ref, l_ref, acc_ref, *,
+def _fa_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *rest,
                scale: float, block_k_major: int, block_k: int,
-               num_heads: int):
+               num_heads: int, with_lse: bool = False):
+    if with_lse:
+        m_out, l_out, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     b = pl.program_id(0) // num_heads
@@ -88,14 +91,18 @@ def _fa_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(ki == nk - 1)
     def _finish():
         o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+        if with_lse:
+            m_out[0] = m_ref[:]
+            l_out[0] = l_ref[:]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "block_k_major", "block_k",
-                     "num_heads", "interpret"))
+                     "num_heads", "interpret", "return_lse"))
 def _flash_attention_bhsd(q, k, v, kv_lens, *, scale, block_q, block_k_major,
-                          block_k, num_heads, interpret=False):
+                          block_k, num_heads, interpret=False,
+                          return_lse=False):
     """q: [BH, Sq, D], k/v: [BH, Sk, D] (padded), kv_lens: [B] int32."""
     bh, sq, d = q.shape
     sk = k.shape[1]
@@ -105,28 +112,35 @@ def _flash_attention_bhsd(q, k, v, kv_lens, *, scale, block_q, block_k_major,
     grid = (bh, nq, nk)
     kernel = functools.partial(
         _fa_kernel, scale=scale, block_k_major=block_k_major,
-        block_k=block_k, num_heads=num_heads)
-    return pl.pallas_call(
+        block_k=block_k, num_heads=num_heads, with_lse=return_lse)
+    qo_spec = pl.BlockSpec((1, block_q, d), lambda b, qi, ki, _: (b, qi, 0))
+    ml_spec = pl.BlockSpec((1, block_q, 128), lambda b, qi, ki, _: (b, qi, 0))
+    out_specs = qo_spec
+    out_shape = jax.ShapeDtypeStruct((bh, sq, d), q.dtype)
+    if return_lse:
+        ml_shape = jax.ShapeDtypeStruct((bh, sq, 128), jnp.float32)
+        out_specs = (qo_spec, ml_spec, ml_spec)
+        out_shape = (out_shape, ml_shape, ml_shape)
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda b, qi, ki, _: (b, qi, 0)),
+                qo_spec,
                 pl.BlockSpec((1, block_k_major, d),
                              lambda b, qi, ki, _: (b, ki, 0)),
                 pl.BlockSpec((1, block_k_major, d),
                              lambda b, qi, ki, _: (b, ki, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d),
-                                   lambda b, qi, ki, _: (b, qi, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),  # m
                 pltpu.VMEM((block_q, 128), jnp.float32),  # l
                 pltpu.VMEM((block_q, d), jnp.float32),    # acc
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -137,6 +151,10 @@ def _flash_attention_bhsd(q, k, v, kv_lens, *, scale, block_q, block_k_major,
         ),
         interpret=interpret,
     )(kv_lens, q, k, v)
+    if return_lse:
+        o, m, l = res
+        return o, m[:, :, 0], l[:, :, 0]
+    return res
 
 
 def _round_up(x: int, m: int) -> int:
@@ -147,13 +165,17 @@ def flash_attention(q, k, v, *, kv_lens=None, scale=None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k_major: int = DEFAULT_BLOCK_K_MAJOR,
                     block_k: int = DEFAULT_BLOCK_K,
-                    interpret=None):
+                    interpret=None, return_lse: bool = False):
     """Flash attention over [B, S, H, D] tensors (reference layout,
     wan/modules/attention.py:133-179). Returns [B, Sq, H, D].
 
     kv_lens: optional [B] int32 true key lengths (padding masked out).
     interpret: run the Pallas kernel in interpreter mode (default: True on
     non-TPU backends so the same code path works on CPU).
+    return_lse: additionally return the running max ``m`` and softmax
+    normalizer ``l`` per query row as [B, H, Sq] fp32 (the output stays
+    normalized) — for cross-shard LSE-corrected merging (ring attention,
+    reference semantics bsa_interface.py:491-529).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -192,9 +214,15 @@ def flash_attention(q, k, v, *, kv_lens=None, scale=None,
     kp = pad(k, sk_p, d_p).transpose(0, 2, 1, 3).reshape(b * h, sk_p, d_p)
     vp = pad(v, sk_p, d_p).transpose(0, 2, 1, 3).reshape(b * h, sk_p, d_p)
     # kv_lens covers real (unpadded) keys only; padded keys masked by kernel.
-    o = _flash_attention_bhsd(qp, kp, vp, kv_lens, scale=float(scale),
-                              block_q=block_q, block_k_major=block_k_major,
-                              block_k=block_k, num_heads=h,
-                              interpret=interpret)
-    o = o.reshape(b, h, sq_p, d_p).transpose(0, 2, 1, 3)
+    res = _flash_attention_bhsd(qp, kp, vp, kv_lens, scale=float(scale),
+                                block_q=block_q, block_k_major=block_k_major,
+                                block_k=block_k, num_heads=h,
+                                interpret=interpret, return_lse=return_lse)
+    if return_lse:
+        o, m, l = res
+        o = o.reshape(b, h, sq_p, d_p).transpose(0, 2, 1, 3)
+        m = m.reshape(b, h, sq_p)[:, :, :sq]
+        l = l.reshape(b, h, sq_p)[:, :, :sq]
+        return o[:, :sq, :, :d], m, l
+    o = res.reshape(b, h, sq_p, d_p).transpose(0, 2, 1, 3)
     return o[:, :sq, :, :d]

@@ -26,17 +26,13 @@ from worldforge_tpu.core.mesh import AXIS_DP, AXIS_SP
 
 
 def _partial_attention(q, k, v, scale):
-    """Returns (out [B,S,H,D] fp32 UNNORMALIZED?, m [B,H,S], l [B,H,S]).
-    out is the softmax-weighted value sum divided by l (normalized), with
-    (m, l) returned for cross-shard correction."""
-    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
-    m = jnp.max(s, axis=-1)                                   # [B,H,Q]
-    p = jnp.exp(s - m[..., None])
-    l = jnp.sum(p, axis=-1)                                   # [B,H,Q]
-    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
-    out = out / jnp.maximum(l, 1e-20).transpose(0, 2, 1)[..., None]
-    return out, m, l
+    """Returns (out [B,S,H,D] fp32 normalized, m [B,H,S], l [B,H,S]) for
+    cross-shard LSE correction. Runs the Pallas flash kernel per KV shard
+    (interpret mode off-TPU) — never materializes the [S_local, S_local]
+    score matrix, so per-chip memory stays O(S/sp)."""
+    from worldforge_tpu.ops.flash_attention import flash_attention
+    out, m, l = flash_attention(q, k, v, scale=scale, return_lse=True)
+    return out.astype(jnp.float32), m, l
 
 
 def _merge(out_a, m_a, l_a, out_b, m_b, l_b):
