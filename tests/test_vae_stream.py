@@ -54,3 +54,31 @@ def test_streaming_single_frame(vae, rng):
     assert z.shape[2] == 1
     out = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
     assert out.shape == video.shape
+
+
+@pytest.mark.parametrize("chunk", [2, 4])
+def test_streaming_decode_chunked_matches(vae, rng, chunk):
+    """Any chunk size carries the same conv-cache state: chunked decode is
+    mathematically identical to the 1-frame-per-step schedule (differences
+    limited to XLA conv reassociation at different tile shapes, ~1e-6)."""
+    cfg, params = vae
+    z = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 5, 2, 2)),
+                    jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    base = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
+    chunked = vae_decode_streaming(params, cfg, z, mean=mean, std=std,
+                                   chunk=chunk)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_streaming_decode_bad_chunk_falls_back(vae, rng):
+    cfg, params = vae
+    z = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 4, 2, 2)),
+                    jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    base = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
+    out = vae_decode_streaming(params, cfg, z, mean=mean, std=std, chunk=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))

@@ -306,10 +306,17 @@ def vae_encode_streaming(params, cfg: WanVAEConfig, video,
 
 
 def vae_decode_streaming(params, cfg: WanVAEConfig, latents,
-                         mean=None, std=None) -> jnp.ndarray:
-    """Streaming equivalent of vae_decode: one latent frame per step
-    (vae.py:544-568)."""
+                         mean=None, std=None, chunk: int = 1) -> jnp.ndarray:
+    """Streaming equivalent of vae_decode: ``chunk`` latent frames per scan
+    step (the reference decodes 1 at a time, vae.py:544-568; any chunk size
+    is mathematically identical — the conv caches carry the same state).
+    Larger chunks trade activation memory for per-step overhead; measured on
+    a 16 GB v5e chunk=2 was NET SLOWER (4.0 s vs 3.3 s full decode — memory
+    pressure beats the conv-tiling gain), so the knob is for big-HBM hosts.
+    chunk must divide t-1; falls back to 1 otherwise."""
     b, _, t, h, w = latents.shape
+    if chunk < 1 or (t - 1) % chunk:
+        chunk = 1
     z = jnp.transpose(latents, (0, 2, 3, 4, 1))
     if mean is None and cfg.z_dim == 16:
         mean, std = jnp.asarray(WAN_LATENTS_MEAN), jnp.asarray(WAN_LATENTS_STD)
@@ -322,7 +329,9 @@ def vae_decode_streaming(params, cfg: WanVAEConfig, latents,
     out0, caches = _decoder_chunk(params["decoder"], cfg, z[:, :1], caches,
                                   is_first=True)
     if t > 1:
-        frames = jnp.moveaxis(z[:, 1:, None], 1, 0)  # [t-1, B, 1, h, w, C]
+        n = (t - 1) // chunk
+        frames = z[:, 1:].reshape(b, n, chunk, h, w, z.shape[-1])
+        frames = jnp.moveaxis(frames, 1, 0)  # [n, B, chunk, h, w, C]
 
         def step(caches, zf):
             y, caches = _decoder_chunk(params["decoder"], cfg, zf, caches,

@@ -51,11 +51,14 @@ class LongCatPipeline:
     vae_scale_t: int = 4
     vae_scale_s: int = 8
     streaming_vae: bool = False  # scan-streaming VAE (see WanI2VPipeline)
+    streaming_vae_chunk: int = 1  # latent frames per decode scan step
 
     def _vae_fns(self):
         if self.streaming_vae:
             from worldforge_tpu.models.wan.vae_stream import (
-                vae_decode_streaming as d, vae_encode_streaming as e)
+                vae_decode_streaming, vae_encode_streaming as e)
+            d = functools.partial(vae_decode_streaming,
+                                  chunk=self.streaming_vae_chunk)
             return d, e
         return vae_decode, vae_encode
 

@@ -57,6 +57,10 @@ class WanI2VPipeline:
     # required for 480p x 49f on small-HBM chips (the single-pass decode
     # OOMs on 16 GB; streaming runs in ~3.3 s/clip on a v5e)
     streaming_vae: bool = False
+    # latent frames decoded per scan step (mathematically identical for any
+    # value; >1 trades activation memory for conv efficiency, and silently
+    # falls back to 1 when it does not divide t-1)
+    streaming_vae_chunk: int = 1
 
     # ------------------------------------------------------------ pieces
 
@@ -65,7 +69,8 @@ class WanI2VPipeline:
             from worldforge_tpu.models.wan.vae_stream import \
                 vae_decode_streaming
             return jax.jit(lambda z: vae_decode_streaming(
-                self.vae_params, self.vae_cfg, z))
+                self.vae_params, self.vae_cfg, z,
+                chunk=self.streaming_vae_chunk))
         return jax.jit(lambda z: vae_decode(self.vae_params, self.vae_cfg, z))
 
     def _vae_encode_fn(self):
@@ -117,7 +122,9 @@ class WanI2VPipeline:
         sched = make_flow_unipc_schedule(num_steps, flow_shift)
         if self.streaming_vae:
             from worldforge_tpu.models.wan.vae_stream import (
-                vae_decode_streaming as _dec, vae_encode_streaming as _enc)
+                vae_decode_streaming, vae_encode_streaming as _enc)
+            _dec = functools.partial(vae_decode_streaming,
+                                     chunk=self.streaming_vae_chunk)
         else:
             _dec, _enc = vae_decode, vae_encode
 
