@@ -39,6 +39,35 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_waveform(path: str, target_sr: int = 16000) -> "np.ndarray":
+    """Load a mono float32 waveform [1, T] at 16 kHz from .wav (stdlib,
+    16/32-bit PCM, downmixed + linearly resampled) or .npy (raw array,
+    assumed already 16 kHz — the wav2vec2 front end's rate)."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32).reshape(1, -1)
+    import wave
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        width = f.getsampwidth()
+        ch = f.getnchannels()
+        raw = f.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if width == 1:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(np.iinfo(dtype).max)
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    if sr != target_sr:
+        t_new = np.linspace(0.0, 1.0, int(round(len(x) * target_sr / sr)),
+                            endpoint=False)
+        t_old = np.linspace(0.0, 1.0, len(x), endpoint=False)
+        x = np.interp(t_new, t_old, x).astype(np.float32)
+    return x.reshape(1, -1)
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
@@ -62,7 +91,7 @@ def main(argv=None) -> None:
     image = jnp.asarray(img.transpose(2, 0, 1)[None] * 2.0 - 1.0,
                         jnp.float32)
 
-    wav = np.load(args.audio).astype(np.float32).reshape(1, -1)
+    wav = _load_waveform(args.audio)
     audio_windows = encode_audio(wav, args.num_frames)
 
     pe, pm = encode_text(args.prompt)

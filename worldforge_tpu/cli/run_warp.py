@@ -50,7 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
-    image = load_image(args.image_path).astype(np.float32) / 255.0
+    path = args.image_path
+    if os.path.isdir(path):
+        # directory + --camera index (reference run_warp.py feeds the scene
+        # dir to VGGT and warps the camera-indexed view)
+        names = sorted(f for f in os.listdir(path)
+                       if f.lower().endswith((".jpg", ".jpeg", ".png")))
+        path = os.path.join(path, names[args.camera])
+    image = load_image(path).astype(np.float32) / 255.0
     H, W, _ = image.shape
 
     if args.depth_npz is not None:
