@@ -472,3 +472,38 @@ def import_longcat_scheduler():
             sys.modules[name] = pkg
     return importlib.import_module(
         "longcat_video.modules.scheduling_flow_match_euler_discrete")
+
+
+def import_avatar_dit():
+    """Import the reference avatar DiT (torch CPU; same stub set as
+    import_longcat_dit plus the avatar subpackage)."""
+    import importlib
+
+    import_longcat_dit()  # installs stubs + longcat_video package paths
+    base = "/root/reference/longcat_for_worldforge"
+    name = "longcat_video.modules.avatar"
+    if name not in sys.modules:
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [f"{base}/longcat_video/modules/avatar"]
+        sys.modules[name] = pkg
+    # audio_process/torch_utils.py top-level imports (only
+    # get_attn_map_with_target is actually used by the avatar attention)
+    import importlib.machinery
+    for mod in ("librosa", "pyloudnorm", "torchvision",
+                "torchvision.transforms", "audio_separator",
+                "audio_separator.separator"):
+        if mod not in sys.modules:
+            m = types.ModuleType(mod)
+            # a real ModuleSpec so importlib.util.find_spec (e.g.
+            # transformers' availability probes) doesn't choke on the stub
+            m.__spec__ = importlib.machinery.ModuleSpec(mod, loader=None)
+            sys.modules[mod] = m
+    # avatar/blocks.py does `from diffusers import ConfigMixin, ModelMixin`
+    diff = sys.modules["diffusers"]
+    if not hasattr(diff, "ConfigMixin"):
+        diff.ConfigMixin = sys.modules[
+            "diffusers.configuration_utils"].ConfigMixin
+        diff.ModelMixin = sys.modules[
+            "diffusers.models.modeling_utils"].ModelMixin
+    return importlib.import_module(
+        "longcat_video.modules.avatar.longcat_video_dit_avatar")

@@ -141,7 +141,38 @@ def load_avatar_pipeline(checkpoint_dir: Optional[str],
 
         return pipe, encode_text, encode_audio
 
-    raise NotImplementedError(
-        "converted avatar checkpoints: convert with io/convert_longcat.py "
-        "(avatar extras) + io/convert_wav2vec2.py, then load here — "
-        "pending real-weight validation (round 2)")
+    import os
+
+    from worldforge_tpu.io.convert_encoders import load_umt5_encoder
+    from worldforge_tpu.io.convert_longcat import convert_avatar_dit
+    from worldforge_tpu.io.convert_wan import convert_wan_vae
+    from worldforge_tpu.io.convert_wav2vec2 import convert_wav2vec2
+    from worldforge_tpu.io.torch_load import load_state_dict
+
+    base = LongCatDiTConfig.longcat_13b()
+    cfg = AvatarConfig(base=base)
+    params = convert_avatar_dit(
+        load_state_dict(os.path.join(checkpoint_dir, "dit")), cfg)
+    vae_cfg = WanVAEConfig.wan_2_1()
+    vae_params = convert_wan_vae(
+        load_state_dict(os.path.join(checkpoint_dir, "vae")), vae_cfg)
+    w2v_cfg = Wav2Vec2Config()
+    w2v_params = convert_wav2vec2(
+        load_state_dict(os.path.join(checkpoint_dir, "wav2vec2")), w2v_cfg)
+    pipe = AvatarPipeline(dit_params=params, dit_cfg=cfg,
+                          vae_params=vae_params, vae_cfg=vae_cfg)
+
+    encode = load_umt5_encoder(os.path.join(checkpoint_dir, "text_encoder"),
+                               os.path.join(checkpoint_dir, "tokenizer"))
+
+    def encode_text(text: str, max_len: int = 512):
+        emb = encode(text)
+        mask = (jnp.abs(emb).sum(-1) > 0).astype(jnp.int32)
+        return emb, mask
+
+    def encode_audio(wav: np.ndarray, num_frames: int,
+                     window: int = cfg.audio_window):
+        return encode_audio_windows(w2v_params, w2v_cfg, jnp.asarray(wav),
+                                    num_frames, window=window)
+
+    return pipe, encode_text, encode_audio

@@ -187,3 +187,49 @@ def load_converted_longcat(checkpoint_dir: str, use_distill: bool = False):
         return emb, mask
 
     return pipe, encode_text
+
+
+def convert_avatar_dit(sd: Dict[str, np.ndarray], cfg,
+                       dtype=jnp.bfloat16) -> dict:
+    """Avatar DiT conversion: the base-block mapping of convert_longcat_dit
+    plus the per-block audio pieces (audio_adaLN_modulation,
+    pre_video/pre_audio cross-attn norms, SingleStreamAttention
+    q_linear/kv_linear/q_norm/k_norm/proj —
+    longcat_video_dit_avatar.py:52-96, avatar/attention.py:311-319) and the
+    top-level AudioProjModel (avatar/blocks.py:33-37). ``cfg`` is an
+    AvatarConfig."""
+    params = convert_longcat_dit(sd, cfg.base, dtype)
+    extras = []
+    for i in range(cfg.base.depth):
+        b = f"blocks.{i}"
+        e = {
+            "audio_adaln": _dense(sd, f"{b}.audio_adaLN_modulation.1",
+                                  jnp.float32),
+            "pre_video_norm": _ln(sd, f"{b}.pre_video_crs_attn_norm", dtype),
+            "a_q": _dense(sd, f"{b}.audio_cross_attn.q_linear", dtype),
+            "a_kv": _dense(sd, f"{b}.audio_cross_attn.kv_linear", dtype),
+            "a_q_norm": _rms(sd, f"{b}.audio_cross_attn.q_norm", jnp.float32),
+            "a_k_norm": _rms(sd, f"{b}.audio_cross_attn.k_norm", jnp.float32),
+            "a_proj": _dense(sd, f"{b}.audio_cross_attn.proj", dtype),
+        }
+        if cfg.audio_prenorm:
+            e["pre_audio_norm"] = _ln(sd, f"{b}.pre_audio_crs_attn_norm",
+                                      dtype)
+        else:
+            # reference uses nn.Identity() (no params, norm not applied —
+            # our forward gates on cfg.audio_prenorm); keep the init-time
+            # tree shape with an inert LN
+            e["pre_audio_norm"] = {
+                "scale": jnp.ones((cfg.output_dim,), dtype),
+                "bias": jnp.zeros((cfg.output_dim,), dtype)}
+        extras.append(e)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *extras)
+    params["blocks"] = dict(params["blocks"], **stacked)
+    params["audio_proj"] = {
+        "proj1": _dense(sd, "audio_proj.proj1", jnp.float32),
+        "proj1_vf": _dense(sd, "audio_proj.proj1_vf", jnp.float32),
+        "proj2": _dense(sd, "audio_proj.proj2", jnp.float32),
+        "proj3": _dense(sd, "audio_proj.proj3", jnp.float32),
+        "norm": _ln(sd, "audio_proj.norm", jnp.float32),
+    }
+    return params
