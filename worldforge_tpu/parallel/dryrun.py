@@ -95,5 +95,59 @@ def run_dryrun(n_devices: int) -> None:
         out.block_until_ready()
     arr = np.asarray(out)
     assert np.isfinite(arr).all(), "dryrun produced non-finite values"
+
+    _dryrun_longcat_bsa(mesh, dp, sp)
     print(f"dryrun_multichip({n_devices}): ok, out {arr.shape}, "
           f"mesh=({dp},{fsdp},{sp})")
+
+
+def _dryrun_longcat_bsa(mesh, dp: int, sp: int) -> None:
+    """Phase 2: the LongCat distilled guided step sharded over the same
+    mesh — per-frame timesteps (frame 0 = cond), CFG-zero optimized scale
+    (pipeline_longcat_video.py:374-383), block-sparse attention through the
+    ring-CP path when sp>1, flow-match Euler update + IRR re-noise."""
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit,
+                                                   longcat_dit_forward)
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+
+    cfg = LongCatDiTConfig.tiny()
+    params = shard_params_fsdp(
+        init_longcat_dit(jax.random.key(7), cfg), mesh)
+    b = dp
+    # latent grid (16, 4, 8) = 512 tokens = 4 chunks of (4,4,8): divisible
+    # by every sp the mesh factoring produces (<= 4)
+    f, hh, ww = 16, 8, 16
+    x = jax.device_put(
+        jax.random.normal(jax.random.key(8),
+                          (b, cfg.in_channels, f, hh, ww), jnp.float32),
+        NamedSharding(mesh, P("dp")))
+    ctx = jax.device_put(
+        jax.random.normal(jax.random.key(9), (b, 6, cfg.caption_channels),
+                          jnp.float32), NamedSharding(mesh, P("dp")))
+    sigma, sigma_next = 0.9, 0.7
+
+    def distilled_step(params, x, ctx, key):
+        # refine-style: uniform t, no cond latents — BSA is only ever used
+        # on chunk-padded cond-free sequences in the reference
+        # (generate_refine, pipeline_longcat_video.py:1411-1428)
+        t = jnp.full((b, f), 700.0, jnp.float32)
+        v_c = longcat_dit_forward(params, cfg, x, t, ctx, mesh=mesh,
+                                  bsa_params={"sparsity": 0.5})
+        v_u = longcat_dit_forward(params, cfg, x, t, ctx * 0.9, mesh=mesh,
+                                  bsa_params={"sparsity": 0.5})
+        # CFG-zero optimized scale st* = <v_c, v_u> / ||v_u||^2
+        st = (jnp.sum(v_c * v_u) /
+              jnp.maximum(jnp.sum(v_u * v_u), 1e-8))
+        v = v_u * st + 4.0 * (v_c - v_u * st)
+        xn = x + (sigma_next - sigma) * v          # Euler flow step
+        x0 = xn - sigma_next * v
+        noise = jax.random.normal(key, x.shape)    # IRR re-noise
+        return (1.0 - sigma_next) * x0 + sigma_next * noise
+
+    with mesh:
+        out = jax.jit(distilled_step)(params, x, ctx, jax.random.key(10))
+        out.block_until_ready()
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all(), "longcat dryrun produced non-finite"
+    print(f"  longcat+bsa phase: ok, out {arr.shape}")
