@@ -193,6 +193,15 @@ def _self_attention_lc(p, cfg, x_m, cos, sin, T, num_cond_latents,
             def attn(q_, k_, v_):
                 tq = q_.shape[1] // (grid3d[1] * grid3d[2])
                 tk = k_.shape[1] // (grid3d[1] * grid3d[2])
+                ct = bsa_params.get("chunk_3d_shape_q", (4, 4, 8))[0]
+                if tq % ct or tk % ct:
+                    raise ValueError(
+                        f"BSA needs the temporal grid divisible by the "
+                        f"chunk t ({ct}); got Tq={tq}, Tk={tk}. The refine "
+                        f"pipeline pads latents to 4-multiples "
+                        f"(pipeline_longcat_video.py:1411-1428); BSA cannot "
+                        f"combine with cond-latent splitting (the reference "
+                        f"never does).")
                 return bsa_attention_3d(
                     q_, k_, v_, (tq, grid3d[1], grid3d[2]),
                     (tk, grid3d[1], grid3d[2]), **bsa_params)
