@@ -105,11 +105,14 @@ def _rope_qk_kernel(q_ref, k_ref, cf_ref, sf_ref, qo_ref, ko_ref):
         dst[0] = (x * cf + sw * sf).astype(dst.dtype)
 
 
-def _pick_block_s(s: int) -> int:
-    """Largest divisor of s in [256, 520] that is a multiple of 8.
-    (520x8 blocks verified on v5e; 1040-row blocks crash Mosaic.)"""
+def _pick_block_s(s: int, hi: int = 520) -> int:
+    """Largest divisor of s in [104, hi] that is a multiple of 8.
+    (520x8 blocks verified on v5e for bf16 inputs; 1040-row blocks crash
+    Mosaic. fp32 inputs double every tile, so callers halve ``hi`` — a
+    520-row fp32 tile set blew the 16 MB scoped-vmem budget at the LongCat
+    480p shape, 32 heads x 20280 tokens.)"""
     best = 0
-    for cand in range(256, 521, 8):
+    for cand in range(104, hi + 1, 8):
         if s % cand == 0:
             best = cand
     return best
@@ -142,7 +145,8 @@ def apply_rope_qk(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
     read+write per tensor instead of XLA's strided deinterleave passes.
     Falls back to apply_rope elsewhere (CPU tests, odd shapes)."""
     b, s, h, d = q.shape
-    block_s = _pick_block_s(s)
+    hi = 520 if jnp.dtype(q.dtype).itemsize <= 2 else 260
+    block_s = _pick_block_s(s, hi=hi)
     usable = (jax.default_backend() == "tpu" and q.shape == k.shape
               and block_s > 0 and h % 8 == 0 and d % 128 == 0)
     if not usable:
