@@ -64,3 +64,21 @@ def test_rope_offsets_match_slices(rng):
     full = np.asarray(cos_full).reshape(f, h, w, d // 2)
     off = np.asarray(cos_off).reshape(f, 2, 3, d // 2)
     np.testing.assert_allclose(off, full[:, 1:3, 2:5], atol=0, rtol=0)
+
+
+def test_fused_qk_kernel_matches_apply_rope(rng):
+    """The Pallas fused q/k kernel (interpret mode on CPU) must match the
+    apply_rope fallback exactly — guards the kernel the TPU path uses."""
+    f, h, w, d = 2, 8, 13, 128   # s = 208 -> block_s 104, heads 8, d 128
+    nh = 8
+    s = f * h * w
+    q = rng.standard_normal((1, s, nh, d)).astype(np.float32)
+    k = rng.standard_normal((1, s, nh, d)).astype(np.float32)
+    cos, sin = rope_cos_sin(f, h, w, d)
+    from worldforge_tpu.ops.rope import apply_rope_qk
+    qo, ko = apply_rope_qk(jnp.asarray(q), jnp.asarray(k), cos, sin,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(qo), np.asarray(
+        apply_rope(jnp.asarray(q), cos, sin)), atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ko), np.asarray(
+        apply_rope(jnp.asarray(k), cos, sin)), atol=1e-6, rtol=1e-6)

@@ -52,12 +52,20 @@ def _load_waveform(path: str, target_sr: int = 16000) -> "np.ndarray":
         width = f.getsampwidth()
         ch = f.getnchannels()
         raw = f.readframes(n)
-    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-    x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
-    if width == 1:
-        x = (x - 128.0) / 128.0
+    if width == 3:  # 24-bit PCM: widen each 3-byte sample to int32
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = ((b[:, 0].astype(np.int32)) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        x = ((x << 8) >> 8).astype(np.float32) / float(2 ** 23 - 1)
+    elif width in (1, 2, 4):
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if width == 1:
+            x = (x - 128.0) / 128.0
+        else:
+            x = x / float(np.iinfo(dtype).max)
     else:
-        x = x / float(np.iinfo(dtype).max)
+        raise ValueError(f"unsupported WAV sample width: {width} bytes")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
     if sr != target_sr:

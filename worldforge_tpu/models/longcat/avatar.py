@@ -14,9 +14,10 @@ Behavioral reference: longcat_video/modules/avatar/:
     attention — each latent frame's tokens attend to that frame's 32
     audio tokens; qk RMSNorm)
 
-Scope: singletalk (human_num=None). The multitalk two-speaker path
-(attention-map-driven 1D RoPE partitioning, attention.py:343-386) is a
-documented round-2 item.
+Scope: singletalk (human_num=None) AND multitalk (two-speaker,
+attention-map-driven 1D RoPE partitioning, attention.py:343-386) — see
+`multitalk_rope_partition` / the human_num branch below; both are
+parity-tested in tests/test_avatar_pipeline.py.
 
 TPU-first: per-frame audio cross-attention maps to a single batched SDPA
 with the frame axis folded into batch — no varlen packing needed since

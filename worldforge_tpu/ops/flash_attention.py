@@ -200,8 +200,8 @@ def flash_attention(q, k, v, *, kv_lens=None, scale=None,
     # footprint, floored at 512 (which compiles at fp32 d=384).
     footprint = jnp.dtype(q.dtype).itemsize * _round_up(d, 128)
     if footprint > 2 * 256:   # > 2x the tuned bf16-d128 point
-        block_q = max(512, min(block_q, _round_up(
-            block_q * 256 // footprint, 128)))
+        block_q = min(max(512, min(block_q, _round_up(
+            block_q * 256 // footprint, 128))), _round_up(sq, 128))
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k_major)
     d_p = _round_up(d, 128)

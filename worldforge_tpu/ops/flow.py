@@ -176,7 +176,8 @@ def video_channel_flows_pair(*videos: jnp.ndarray, method: str = "farneback",
     i2 = jnp.concatenate([p[1] for p in pairs])
     if method == "farneback":
         from worldforge_tpu.ops.farneback import farneback_flow
-        fl = farneback_flow(i1, i2).transpose(0, 3, 1, 2)  # [N, 2, H, W]
+        fl = farneback_flow(i1, i2, levels=levels,
+                            iterations=iters).transpose(0, 3, 1, 2)
     else:
         fl = optical_flow(i1, i2, levels=levels, iters=iters)
     n = b * c * (t - 1)

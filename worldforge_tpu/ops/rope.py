@@ -119,8 +119,9 @@ def _pick_block_s(s: int, hi: int = 520) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "block_s",
-                                             "block_h"))
-def _rope_qk_pallas(q, k, cf, sf, *, out_dtype, block_s, block_h):
+                                             "block_h", "interpret"))
+def _rope_qk_pallas(q, k, cf, sf, *, out_dtype, block_s, block_h,
+                    interpret=False):
     from jax.experimental import pallas as pl
     b, s, h, d = q.shape
     grid = (b, s // block_s, h // block_h)
@@ -133,21 +134,29 @@ def _rope_qk_pallas(q, k, cf, sf, *, out_dtype, block_s, block_h):
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct(q.shape, out_dtype),
                    jax.ShapeDtypeStruct(k.shape, out_dtype)],
+        interpret=interpret,
     )(q, k, cf, sf)
 
 
 def apply_rope_qk(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
-                  sin: jnp.ndarray, out_dtype=None):
+                  sin: jnp.ndarray, out_dtype=None, interpret=None):
     """Rotate q and k [B, S, H, D] in one fused device pass.
 
     On TPU (when the shape tiles cleanly) this runs a single Pallas kernel
     that is bitwise-identical to apply_rope but ~2x faster: one HBM
     read+write per tensor instead of XLA's strided deinterleave passes.
-    Falls back to apply_rope elsewhere (CPU tests, odd shapes)."""
+    Falls back to apply_rope elsewhere (CPU tests, odd shapes); pass
+    interpret=True to force the kernel in Pallas interpret mode so CPU
+    tests exercise it."""
     b, s, h, d = q.shape
     hi = 520 if jnp.dtype(q.dtype).itemsize <= 2 else 260
     block_s = _pick_block_s(s, hi=hi)
-    usable = (jax.default_backend() == "tpu" and q.shape == k.shape
+    if interpret is None:
+        interpret = False
+        on_tpu = jax.default_backend() == "tpu"
+    else:
+        on_tpu = True  # explicit request: run the kernel regardless
+    usable = (on_tpu and q.shape == k.shape
               and block_s > 0 and h % 8 == 0 and d % 128 == 0)
     if not usable:
         return (apply_rope(q, cos, sin, out_dtype=out_dtype),
@@ -157,4 +166,4 @@ def apply_rope_qk(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
     sgn = jnp.tile(jnp.asarray([-1.0, 1.0], cos.dtype), d // 2)
     sf = jnp.repeat(sin, 2, axis=-1) * sgn
     return _rope_qk_pallas(q, k, cf, sf, out_dtype=odtype,
-                           block_s=block_s, block_h=8)
+                           block_s=block_s, block_h=8, interpret=interpret)
