@@ -507,3 +507,37 @@ def import_avatar_dit():
             "diffusers.models.modeling_utils"].ModelMixin
     return importlib.import_module(
         "longcat_video.modules.avatar.longcat_video_dit_avatar")
+
+
+def import_utils_warp():
+    """Import the reference VGGT warp core (pure numpy/cv2/scipy + a torch
+    type-check, /root/reference/vggt/modules/utils_warp.py) by file path for
+    use as the warp-mask parity oracle."""
+    import importlib.util
+
+    name = "_ref_utils_warp"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, "/root/reference/vggt/modules/utils_warp.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def import_dc_utils():
+    """Import the reference DepthCrafter utils (trajectories, edge filter,
+    and the numpy CPU renderer project_points_to_image_numpy; the pytorch3d
+    import at the top is inside try/except so the module loads without it)."""
+    import importlib.util
+
+    name = "_ref_dc_utils"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, "/root/reference/DepthCrafter/utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -59,20 +59,32 @@ def _winner_take_all(flat_idx: jnp.ndarray, z: jnp.ndarray,
     return color, zbuf, mask
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "round_first"))
 def splat_nearest(points_cam: jnp.ndarray, colors: jnp.ndarray,
                   intrinsic: jnp.ndarray, valid: jnp.ndarray, *,
-                  h: int, w: int):
+                  h: int, w: int, round_first: bool = False):
     """VGGT-style splat. points_cam [3, N] in the target camera frame,
     colors [N, C], valid [N] bool. Returns (image [H,W,C], mask [H,W],
-    depth [H,W])."""
+    depth [H,W]).
+
+    Border semantics differ between the two reference renderers:
+      * round_first=False (default) — bounds-check the FLOAT coordinates,
+        then round and clip (utils_warp.py:921-927): a point at u=W-0.4
+        clips into the last column.
+      * round_first=True — round to the nearest pixel first, then
+        bounds-check the integers with no clip (the DepthCrafter CPU
+        renderer, DepthCrafter/utils.py:199-212): u=-0.4 lands in column 0,
+        u=W-0.4 falls out of frame."""
     z = points_cam[2]
     ok = valid & (jnp.abs(z) > 1e-6)
     safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1.0)
     uvw = intrinsic.astype(jnp.float32) @ (points_cam / safe_z[None])
     u = jnp.round(uvw[0]).astype(jnp.int32)
     v = jnp.round(uvw[1]).astype(jnp.int32)
-    inb = (uvw[0] >= 0) & (uvw[0] < w) & (uvw[1] >= 0) & (uvw[1] < h)
+    if round_first:
+        inb = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    else:
+        inb = (uvw[0] >= 0) & (uvw[0] < w) & (uvw[1] >= 0) & (uvw[1] < h)
     ok = ok & inb
     u = jnp.clip(u, 0, w - 1)
     v = jnp.clip(v, 0, h - 1)
@@ -81,6 +93,47 @@ def splat_nearest(points_cam: jnp.ndarray, colors: jnp.ndarray,
     m = mask.reshape(h, w)
     depth = jnp.where(m, zbuf.reshape(h, w), jnp.nan)
     return img, m, depth
+
+
+def render_points_nearest(points: np.ndarray, features: np.ndarray,
+                          extrinsic: np.ndarray, intrinsic: np.ndarray,
+                          h: int, w: int):
+    """CPU-fallback point renderer matching the reference's numpy renderer
+    (DepthCrafter/utils.py:173-237 project_points_to_image_numpy):
+    nearest-pixel min-z splat with round-then-bounds-check borders, 3x3
+    morphological CLOSE on the mask, griddata-linear colors at the pixels
+    the CLOSE adds (the reference interpolates the whole grid up front;
+    only the closed-in crack pixels survive with those values — z-winners
+    overwrite everything else and off-mask pixels are zeroed).
+    Returns (image [H,W,C] float32, mask [H,W] uint8)."""
+    import jax.numpy as jnp_  # local: host helper, jit'd splat inside
+    pc = (extrinsic[:3, :3] @ points.T + extrinsic[:3, 3][:, None])
+    img_j, mask0_j, _ = splat_nearest(
+        jnp_.asarray(pc, jnp_.float32), jnp_.asarray(features, jnp_.float32),
+        jnp_.asarray(intrinsic, jnp_.float32),
+        jnp_.ones(points.shape[0], bool), h=h, w=w, round_first=True)
+    import cv2
+    mask0 = np.asarray(mask0_j)
+    mask = cv2.morphologyEx(mask0.astype(np.uint8), cv2.MORPH_CLOSE,
+                            np.ones((3, 3), np.uint8))
+    img = np.asarray(img_j).copy()
+    crack = (mask > 0) & ~mask0
+    if crack.any():
+        from scipy.interpolate import griddata
+        # same uv set as the reference (float64 projection, np.round)
+        z = pc[2]
+        u = np.round(intrinsic[0, 0] * (pc[0] / z) + intrinsic[0, 2]
+                     ).astype(int)
+        v = np.round(intrinsic[1, 1] * (pc[1] / z) + intrinsic[1, 2]
+                     ).astype(int)
+        ok = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        cy, cx = np.nonzero(crack)
+        vals = griddata(np.stack((u[ok], v[ok]), axis=-1), features[ok],
+                        np.stack((cx, cy), axis=-1).astype(np.float32),
+                        method="linear", fill_value=0)
+        img[cy, cx] = np.clip(vals, 0, 1).astype(np.float32)
+    img[mask == 0] = 0
+    return img, mask
 
 
 def _disk_offsets(radius_px: float):

@@ -26,14 +26,23 @@ from worldforge_tpu.warp.splat import splat_nearest
 def _filter_depth_by_confidence(depth: np.ndarray,
                                 conf: Optional[np.ndarray],
                                 conf_threshold: float):
-    """Percentile confidence filtering (utils_warp.py:774-806)."""
-    if conf is not None and conf_threshold != 1.0:
+    """Percentile confidence filtering (utils_warp.py:774-806).
+
+    Matches the reference's three branches exactly: with conf and
+    threshold != 1.0, percentile-filter and NaN the rejected pixels; with
+    conf and threshold == 1.0 the depth map is kept un-NaN'd
+    (utils_warp.py:784-786); without conf, invalid (NaN/<=0) pixels are
+    NaN'd."""
+    filtered = depth.astype(np.float32).copy()
+    if conf is not None and conf_threshold == 1.0:
+        mask = ~np.isnan(filtered) & (filtered > 0)
+    elif conf is not None:
         thr = np.percentile(conf.flatten(), (1 - conf_threshold) * 100)
         mask = conf > thr
+        filtered[~mask] = np.nan
     else:
-        mask = ~np.isnan(depth) & (depth > 0)
-    filtered = depth.astype(np.float32).copy()
-    filtered[~mask] = np.nan
+        mask = ~np.isnan(filtered) & (filtered > 0)
+        filtered[~mask] = np.nan
     mean_depth = np.nanmean(filtered[mask]) if mask.any() else 1.0
     return filtered, mask, float(mean_depth)
 
@@ -58,9 +67,11 @@ def warp_single_image(
     """Returns (warped_images uint8, warped_masks {0,1} uint8, camera_info).
     Frame 0 is the original image with an all-ones mask (utils_warp:846-857).
     """
+    # Keep colors at the INPUT scale through the splat (the reference never
+    # normalizes, utils_warp.py:753-761); unit_scale tracks whether a *255
+    # is due at uint8-output time (utils_warp.py:846, 949-952).
     img = image.astype(np.float32)
-    if img.max() > 1.0 + 1e-3:
-        img = img / 255.0
+    unit_scale = img.max() <= 1.0
     H, W, C = img.shape
 
     filtered_depth, _, mean_depth = _filter_depth_by_confidence(
@@ -97,16 +108,22 @@ def warp_single_image(
 
     params = {**DEFAULT_CRACK_PARAMS, **(crack_params or {})}
 
-    warped_images = [(img * 255).astype(np.uint8)]
+    warped_images = [(img * 255).astype(np.uint8) if unit_scale
+                     else img.astype(np.uint8)]
     warped_masks = [np.ones((H, W), np.uint8)]
     infos = [{"type": "original", "camera_name": "original",
               "direction": direction, "angle": 0.0}]
 
     for i in range(len(cams) - 1):
-        wi = imgs_np[i]
+        # the reference quantizes the splatted frame to uint8 BEFORE crack
+        # filling (utils_warp.py:949-956) — filled colors are means over the
+        # quantized values, so the round-trip is load-bearing for parity
+        wi8 = ((imgs_np[i] * 255).astype(np.uint8) if unit_scale
+               else imgs_np[i].astype(np.uint8))
         bm = masks_np[i].astype(np.uint8)
         wd = depths_np[i]
         if fill_cracks:
+            wi = wi8.astype(np.float32) / 255.0
             use_depth_aware = (not disable_depth_aware_fill
                                and np.sum(~np.isnan(wd)) > 100)
             if use_depth_aware:
@@ -118,8 +135,8 @@ def warp_single_image(
                     depth_threshold=params["depth_threshold"],
                     max_crack_size=params["max_crack_size"],
                     min_valid_neighbors=params["min_valid_neighbors"])
-            wi, bm = fi, fm
-        warped_images.append((np.clip(wi, 0, 1) * 255).astype(np.uint8))
+            wi8, bm = (fi * 255).astype(np.uint8), fm
+        warped_images.append(wi8)
         warped_masks.append(bm.astype(np.uint8))
         angle = degree * (i + 2) / frame_num
         infos.append({"type": "single_view_warped", "direction": direction,
