@@ -1,0 +1,160 @@
+"""Real-TPU probe: direct (non-extrapolated) north-star measurement.
+
+Run on the real chip from /root/repo with NO JAX_PLATFORMS overrides:
+
+    python scripts/probe_full_model_int8.py --phase a    # 1.4B extrapolation error bound
+    python scripts/probe_full_model_int8.py --phase b    # full Wan-14B t2v int8 measured
+    python scripts/probe_full_model_int8.py --phase i2v  # 16.1 GB i2v attempt (OOM post-mortem)
+
+Phase A (extrapolation error bound, VERDICT weak #3): the full Wan-1.4B
+t2v forward is measured on chip AND extrapolated from a single layer at the
+same token shape; the gap bounds the layer-extrapolation method bench.py
+uses for the 14B number.
+
+Phase B (VERDICT missing #2): the full 40-layer Wan-14B t2v in W8A8 int8
+(blocks = 14.05 GB, built layer-by-layer on device by init_wan_dit_int8 —
+the bf16 stacked blocks could never be materialized to quantize from) runs
+a complete 480p x 49f forward on the 16 GB v5e. This converts the flagship
+metric from a layer extrapolation into a measurement.
+
+Note the capacity fact this probe documents: the i2v variant the WorldForge
+pipeline uses carries k_img/v_img (6 not 4 cross-attn mats, ~16.4B params
+total, int8 blocks ~16.1 GB) and does NOT fit 16 GB HBM even in int8; t2v
+(14.05 GB) does. Reference step structure: pipeline_wan_i2v_clean.py:562-728.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+F, HH, WW = 13, 60, 104  # 480p x 49 frames latents -> 13x30x52 = 20280 tokens
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _time(fn, *args, n_iter=3, rounds=3):
+    out = fn(*args)
+    _sync(out)
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
+
+
+def _mem(tag):
+    try:
+        s = jax.devices()[0].memory_stats()
+        print(f"  [mem {tag}] in_use={s['bytes_in_use']/2**30:.2f} GiB "
+              f"peak={s.get('peak_bytes_in_use', 0)/2**30:.2f} GiB")
+    except Exception as e:  # tunnel backends may not expose stats
+        print(f"  [mem {tag}] unavailable: {e}")
+
+
+def _inputs(cfg, key):
+    x = jax.random.normal(key, (1, 16, F, HH, WW), jnp.bfloat16)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jax.random.normal(key, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    return x, t, ctx
+
+
+def phase_a():
+    from worldforge_tpu.models.wan.dit import (
+        WanDiTConfig, init_wan_dit, init_wan_dit_layer, wan_dit_layer_forward,
+        wan_dit_forward)
+    from worldforge_tpu.ops.rope import rope_cos_sin
+
+    cfg = WanDiTConfig.wan_1_3b_t2v()
+    key = jax.random.key(0)
+    params = init_wan_dit(key, cfg, dtype=jnp.bfloat16)
+    x, t, ctx = _inputs(cfg, key)
+
+    full = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg, x, t, c))
+    t_full = _time(full, params, x, t, ctx)
+    print(f"full 1.4B fwd: {t_full*1e3:.1f} ms")
+    _mem("full-1.4B")
+
+    layer = init_wan_dit_layer(jax.random.key(1), cfg, dtype=jnp.bfloat16)
+    seq = F * (HH // 2) * (WW // 2)
+    xs = jax.random.normal(key, (1, seq, cfg.dim), jnp.bfloat16)
+    e = jax.random.normal(key, (1, 6, cfg.dim), jnp.float32)
+    cs = jax.random.normal(key, (1, cfg.text_len, cfg.dim), jnp.bfloat16)
+    cos, sin = rope_cos_sin(F, HH // 2, WW // 2, cfg.head_dim)
+    lf = jax.jit(lambda l, x, e, c: wan_dit_layer_forward(
+        l, cfg, x, e, c, cos, sin, img_ctx_len=0))
+    t_layer = _time(lf, layer, xs, e, cs, n_iter=8)
+    extrap = t_layer * cfg.num_layers
+    print(f"layer: {t_layer*1e3:.2f} ms x {cfg.num_layers} = {extrap*1e3:.1f} ms"
+          f" | measured {t_full*1e3:.1f} ms"
+          f" | extrap/measured = {extrap/t_full:.4f}"
+          f" | non-layer overhead = {(t_full-extrap)*1e3:.1f} ms")
+
+
+def _run_full(cfg, params, tag):
+    from worldforge_tpu.models.wan.dit import wan_dit_forward
+
+    key = jax.random.key(2)
+    x, t, ctx = _inputs(cfg, key)
+    extra = {}
+    if cfg.model_type == "i2v":
+        extra["clip_fea"] = jax.random.normal(key, (1, 257, cfg.clip_dim),
+                                              jnp.bfloat16)
+        extra["y"] = jax.random.normal(key, (1, 20, F, HH, WW), jnp.bfloat16)
+    full = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg, x, t, c, **extra))
+    t_full = _time(full, params, x, t, ctx, n_iter=2, rounds=3)
+    _mem(f"full-{tag}")
+    steps, cfg_mult, frames = 50, 2, 49
+    fps = frames / (steps * cfg_mult * t_full)
+    print(f"full {tag} fwd: {t_full*1e3:.1f} ms -> "
+          f"{fps:.4f} fps/chip (50 steps x2 CFG)")
+    return t_full
+
+
+def phase_b():
+    from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit_int8
+
+    cfg = WanDiTConfig(model_type="t2v", in_dim=16)  # 14B dims, no img branch
+    t0 = time.perf_counter()
+    params = init_wan_dit_int8(jax.random.key(3), cfg, dtype=jnp.bfloat16)
+    _sync(params["blocks"]["ffn"]["fc1"]["w8"])
+    print(f"layerwise int8 init: {time.perf_counter()-t0:.1f} s")
+    _mem("post-init-14B-int8")
+    _run_full(cfg, params, "14B-t2v-int8")
+
+
+def phase_i2v():
+    from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit_int8
+
+    cfg = WanDiTConfig.wan_14b_i2v()
+    try:
+        params = init_wan_dit_int8(jax.random.key(3), cfg, dtype=jnp.bfloat16)
+        _sync(params["blocks"]["ffn"]["fc1"]["w8"])
+        _mem("post-init-14B-i2v-int8")
+        _run_full(cfg, params, "14B-i2v-int8")
+    except Exception as e:
+        print(f"i2v int8 failed as expected: {type(e).__name__}")
+        print(str(e)[:2000])
+        _mem("post-oom")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["a", "b", "i2v"], required=True)
+    args = ap.parse_args()
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    {"a": phase_a, "b": phase_b, "i2v": phase_i2v}[args.phase]()

@@ -38,6 +38,46 @@ def test_quantize_tree_selective(rng):
     assert "scale" in qt["q_norm"]                # norms untouched
 
 
+def test_init_wan_dit_int8_matches_quantize_tree():
+    """The layer-by-layer on-device int8 builder (used to fit 14B on a
+    16 GB chip) must equal quantize_tree over the bf16 stacked init."""
+    from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
+                                               init_wan_dit_int8)
+
+    cfg = WanDiTConfig.tiny()
+    key = jax.random.key(7)
+    ref = quantize_tree(init_wan_dit(key, cfg, dtype=jnp.float32))
+    got = init_wan_dit_int8(key, cfg, dtype=jnp.float32)
+    ref_l, treedef_r = jax.tree_util.tree_flatten_with_path(ref)
+    got_l, treedef_g = jax.tree_util.tree_flatten_with_path(got)
+    assert treedef_r == treedef_g
+    for (pr, a), (_, b) in zip(ref_l, got_l):
+        name = jax.tree_util.keystr(pr)
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            # the builder inits+quantizes inside jit; XLA's x/c -> x*(1/c)
+            # rewrites shift values by ~1 ulp, so int8 codes are compared
+            # via the DEQUANTIZED weights (the serving-mode contract) and
+            # fp leaves with a 1-ulp tolerance rather than raw bits
+            continue
+        np.testing.assert_allclose(a.astype(np.float64),
+                                   b.astype(np.float64), rtol=3e-7,
+                                   atol=1e-9, err_msg=name)
+
+    def deq(t):
+        return {k: (np.asarray(v["w8"], np.float32)
+                    * np.asarray(v["scale"])[..., None, :]
+                    if isinstance(v, dict) and "w8" in v else
+                    deq(v) if isinstance(v, dict) else v)
+                for k, v in t.items()} if isinstance(t, dict) else t
+
+    ra, ga = jax.tree_util.tree_leaves(deq(ref)), \
+        jax.tree_util.tree_leaves(deq(got))
+    for a, b in zip(ra, ga):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_quantized_wan_layer_forward(rng):
     from worldforge_tpu.core.dtypes import FP32_POLICY
     from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,

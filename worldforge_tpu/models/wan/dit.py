@@ -162,6 +162,45 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
     return p
 
 
+def init_wan_dit_int8(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
+    """Full DiT with W8-quantized stacked blocks, built LAYER BY LAYER on
+    device: peak HBM = final int8 blocks + one transient bf16 layer, so the
+    Wan-14B (int8 blocks ~14 GB) fits a 16 GB v5e where the bf16 stacked
+    blocks (~28 GB) cannot even be materialized to quantize from.
+
+    Numerically identical to quantize_tree(init_wan_dit(key, cfg, dtype))
+    (same fold_in key schedule; per-layer scales == stacked-axis scales)."""
+    from functools import partial
+
+    from worldforge_tpu.ops.quant import quantize_tree
+
+    ks = P.split_keys(key, 12)
+
+    def q_layer(k):
+        return quantize_tree(init_wan_dit_layer(k, cfg, dtype=dtype))
+
+    layer_keys = [ks[0] if i == 0 else jax.random.fold_in(ks[0], i)
+                  for i in range(cfg.num_layers)]
+    shapes = jax.eval_shape(q_layer, layer_keys[0])
+    blocks = jax.tree_util.tree_map(
+        lambda a: jnp.zeros((cfg.num_layers,) + a.shape, a.dtype), shapes)
+
+    @partial(jax.jit, donate_argnums=0)
+    def write(blocks, i, k):
+        lay = q_layer(k)
+        return jax.tree_util.tree_map(
+            lambda B, x: jax.lax.dynamic_update_index_in_dim(
+                B, x.astype(B.dtype), i, 0), blocks, lay)
+
+    for i, lk in enumerate(layer_keys):
+        blocks = write(blocks, jnp.int32(i), lk)
+
+    small_cfg = dataclasses.replace(cfg, num_layers=1)
+    p = quantize_tree(init_wan_dit(key, small_cfg, dtype=dtype))
+    p["blocks"] = blocks
+    return p
+
+
 # ------------------------------------------------------------------ pieces
 
 

@@ -27,11 +27,13 @@ from jax import lax
 
 
 def quantize_weight(w: jnp.ndarray):
-    """[in, out] -> (int8 [in, out], fp32 scale [out])."""
+    """[in, out] -> (int8 [in, out], fp32 scale [out]); stacked scan-layer
+    weights [L, in, out] -> (int8 [L, in, out], scale [L, out]) so a
+    lax.scan slice yields exactly the 2-D quantized layout."""
     wf = w.astype(jnp.float32)
-    s = jnp.max(jnp.abs(wf), axis=0) / 127.0
+    s = jnp.max(jnp.abs(wf), axis=-2) / 127.0
     s = jnp.maximum(s, 1e-8)
-    w8 = jnp.clip(jnp.round(wf / s[None]), -127, 127).astype(jnp.int8)
+    w8 = jnp.clip(jnp.round(wf / s[..., None, :]), -127, 127).astype(jnp.int8)
     return w8, s
 
 
@@ -80,23 +82,35 @@ def is_quantized(p) -> bool:
 _DEFAULT_KEYS = ("qkv", "attn_proj", "proj", "x_q", "x_kv", "x_proj",
                  "w1", "w2", "w3", "fc1", "fc2", "q", "k", "v", "o",
                  "to_q", "to_k", "to_v", "to_out", "ffn1", "ffn2",
-                 "img_kv", "a_q", "a_kv", "a_proj")
+                 "img_kv", "k_img", "v_img", "a_q", "a_kv", "a_proj")
+# fp32 numerics islands whose (small) matmuls must stay full precision:
+# the adaLN conditioning path is statistics-sensitive (FLF channel
+# selection thresholds ride on the latent statistics downstream)
+_EXCLUDE_PATHS = ("time_embedding", "time_projection", "head")
+
+
+def _default_pred(path: str) -> bool:
+    parts = path.split("/")
+    return (parts[-1] in _DEFAULT_KEYS
+            and not any(p in _EXCLUDE_PATHS for p in parts))
 
 
 def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None):
-    """Recursively convert dense param dicts whose dict key matches
-    `predicate` (default: the big attention/FFN matmuls). Norms, adaLN,
-    embeddings, and output heads stay unquantized."""
-    pred = predicate or (lambda name: name in _DEFAULT_KEYS)
+    """Recursively convert dense param dicts whose '/'-joined dict path
+    matches `predicate` (default: the big attention/FFN matmuls, excluding
+    the fp32 time-embedding/head islands). Norms, adaLN, embeddings, and
+    output heads stay unquantized."""
+    pred = predicate or _default_pred
 
-    def walk(node, name=""):
+    def walk(node, path=""):
         if isinstance(node, dict):
             if "w" in node and not isinstance(node["w"], dict) \
-                    and getattr(node["w"], "ndim", 0) == 2 and pred(name):
+                    and getattr(node["w"], "ndim", 0) in (2, 3) and pred(path):
                 return quantize_dense(node)
-            return {k: walk(v, k) for k, v in node.items()}
+            return {k: walk(v, f"{path}/{k}" if path else k)
+                    for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v, name) for v in node)
+            return type(node)(walk(v, path) for v in node)
         return node
 
     return walk(params)
