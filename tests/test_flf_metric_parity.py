@@ -36,6 +36,33 @@ def test_flow_metric_matches_reference(rng):
     np.testing.assert_allclose(ones, 1.0, atol=1e-4)
 
 
+def test_longcat_flow_metric_matches_reference(rng):
+    """The LONGCAT metric differs from Wan's (OR outlier mask, 0.4/0.4/0.2
+    weights — longcat scheduler :210-242); variant='longcat' must match the
+    reference VideoMotionChannelSelector given identical flows."""
+    from tests.reference_oracle import import_longcat_scheduler
+
+    mod = import_longcat_scheduler()
+    sel = mod.VideoMotionChannelSelector(debug=False)
+
+    b, c, tm1, h, w = 1, 5, 3, 8, 8
+    ref_f = (rng.standard_normal((b, c, tm1, 2, h, w)) * 4).astype(np.float32)
+    pred_f = ref_f + (rng.standard_normal(ref_f.shape) * 2).astype(np.float32)
+
+    got = np.asarray(_flow_similarity_scores(jnp.asarray(pred_f),
+                                             jnp.asarray(ref_f),
+                                             variant="longcat"))
+    wan = np.asarray(_flow_similarity_scores(jnp.asarray(pred_f),
+                                             jnp.asarray(ref_f)))
+    assert np.abs(got - wan).max() > 1e-4  # the variants genuinely differ
+    for ch in range(c):
+        with torch.no_grad():
+            r = sel._compute_flow_metrics(
+                torch.tensor(ref_f[:, ch]),       # [1, T-1, 2, H, W]
+                torch.tensor(pred_f[:, ch]))
+        assert got[ch] == pytest.approx(r, abs=1e-5), ch
+
+
 def test_wan_selection_schedule_matches_reference(rng):
     """Schedule parity (reference :404-437) with canned similarity scores
     injected via instance monkeypatching (the read-only module is not

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,12 +33,10 @@ from worldforge_tpu.models.wan.vae import (WanVAEConfig, vae_decode,
 from worldforge_tpu.sampling.channel_select import apply_channel_replacement
 from worldforge_tpu.sampling.flow_match import (FlowMatchSchedule,
                                                 cfg_zero_combine,
-                                                fm_add_noise, fm_euler_step,
-                                                fm_pred_x0,
+                                                fm_euler_step,
                                                 make_flow_match_schedule)
 from worldforge_tpu.sampling.guidance import (GuidanceConfig, flf_select,
                                               fuse_latents)
-from worldforge_tpu.sampling.unipc import dsg_extrapolate
 
 
 @dataclasses.dataclass(eq=False)  # identity hash (lru_cache on methods)
@@ -145,7 +143,8 @@ class LongCatPipeline:
                         lambda v: _e(vae_params, self.vae_cfg, v))
                     if guidance.use_flf:
                         scores = _flow_similarity_scores(
-                            *video_channel_flows_pair(pre, fused))
+                            *video_channel_flows_pair(pre, fused),
+                            variant="longcat")
                         m = select_mask_longcat_device(
                             scores, step, guidance.distill,
                             guidance.max_replace)
@@ -178,6 +177,7 @@ class LongCatPipeline:
         mask: Optional[jnp.ndarray] = None,
         guidance: GuidanceConfig = GuidanceConfig(flf_backend="longcat"),
         output_type: str = "np",
+        noise_fn: Optional[Callable] = None,
         fused: bool = False,
     ):
         b = image.shape[0]
@@ -224,60 +224,33 @@ class LongCatPipeline:
             out = (np.asarray(video, np.float32) + 1.0) / 2.0
             return np.clip(out, 0.0, 1.0)
 
-        for i in range(sched.num_steps):
-            t_val = float(sched.timesteps[i])
-            deriv_history: List[jnp.ndarray] = []
-            prev_noise = None
-            n_resample = (gcfg.resample_steps
-                          if (guided_on and i < gcfg.resample_round) else 1)
+        from worldforge_tpu.sampling.engine import longcat_denoise_loop
 
-            for r in range(n_resample):
-                tb = jnp.full((b, t_lat), t_val, jnp.float32)
-                tb = tb.at[:, 0].set(0.0)  # cond frame (:864-865)
-                v = dit(self.dit_params, latents, tb, prompt_embeds,
-                        prompt_mask, 1)
-                if do_cfg:
-                    vu = dit(self.dit_params, latents, tb,
-                             negative_prompt_embeds, negative_prompt_mask, 1)
-                    v = cfg_zero_combine(v, vu, guidance_scale)
-                v = -v  # scheduler compatibility negation (:888)
-                deriv_history.append(v)
+        def model_fn(lat, t_val, i, r):
+            tb = jnp.full((b, t_lat), t_val, jnp.float32)
+            tb = tb.at[:, 0].set(0.0)  # cond frame (:864-865)
+            v = dit(self.dit_params, lat, tb, prompt_embeds, prompt_mask, 1)
+            if do_cfg:
+                vu = dit(self.dit_params, lat, tb,
+                         negative_prompt_embeds, negative_prompt_mask, 1)
+                v = cfg_zero_combine(v, vu, guidance_scale)
+            return -v  # scheduler compatibility negation (:888)
 
-                v_noise = v[:, :, 1:]
-                x_noise = latents[:, :, 1:]
-                x0 = fm_pred_x0(sched, i, v_noise, x_noise)
-                if guided_on and i < gcfg.guide_steps and r == 0:
-                    # fuse on FULL latents with zeroed frame-0 output
-                    v_full = jnp.concatenate(
-                        [jnp.zeros_like(v[:, :, :1]), v_noise], axis=2)
-                    x0_full = fm_pred_x0(sched, i, v_full, latents)
-                    pre_full = x0_full
-                    x0_full = fuse_latents(x0_full, video_ref, mask, dec, enc)
-                    if gcfg.use_flf:
-                        sel = flf_select(pre_full, x0_full, i, gcfg)
-                        if sel:
-                            x0_full = apply_channel_replacement(
-                                x0_full, pre_full, sel)
-                    x0 = x0_full[:, :, 1:]
+        fuse_fn = None
+        if guided_on:
+            def fuse_fn(x0_full, i, r):
+                pre_full = x0_full
+                x0_full = fuse_latents(x0_full, video_ref, mask, dec, enc)
+                if gcfg.use_flf:
+                    sel = flf_select(pre_full, x0_full, i, gcfg)
+                    if sel:
+                        x0_full = apply_channel_replacement(
+                            x0_full, pre_full, sel)
+                return x0_full
 
-                prev_noise = fm_euler_step(sched, i, x_noise, v_noise)
-
-                if i < gcfg.resample_round and r < n_resample - 1:
-                    key, k_r = jax.random.split(key)
-                    noise = jax.random.normal(k_r, x0.shape, x0.dtype)
-                    latents = latents.at[:, :, 1:].set(
-                        fm_add_noise(sched, i, x0, noise))
-
-            if guided_on and i < gcfg.resample_round and len(deriv_history) > 1:
-                omega = (gcfg.omega if i < gcfg.guide_steps
-                         else gcfg.omega_resample)
-                better = dsg_extrapolate(deriv_history[-1], deriv_history[0],
-                                         omega)
-                latents = latents.at[:, :, 1:].set(
-                    fm_euler_step(sched, i, latents[:, :, 1:],
-                                  better[:, :, 1:]))
-            else:
-                latents = latents.at[:, :, 1:].set(prev_noise)
+        latents = longcat_denoise_loop(
+            model_fn, latents, sched, gcfg, key=key, noise_fn=noise_fn,
+            fuse_fn=fuse_fn)
 
         video = dec(latents)
         if output_type == "latent":

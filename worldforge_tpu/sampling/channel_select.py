@@ -36,11 +36,21 @@ import numpy as np
 from worldforge_tpu.ops.flow import video_channel_flows
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("variant",))
 def _flow_similarity_scores(pred_flows: jnp.ndarray,
-                            ref_flows: jnp.ndarray) -> jnp.ndarray:
-    """similarity [C] from per-channel flows [B, C, T-1, 2, H, W]
-    (_compute_flow_metrics, reference :497-607)."""
+                            ref_flows: jnp.ndarray,
+                            variant: str = "wan") -> jnp.ndarray:
+    """similarity [C] from per-channel flows [B, C, T-1, 2, H, W].
+
+    The two backends ship DIFFERENT metrics:
+    - 'wan' (scheduling_unipc_multistep_clean.py:540-607): outlier mask is
+      an AND of the thresholds, weights 0.45*EPE + 0.45*Fl + 0.1*AE.
+    - 'longcat' (scheduling_flow_match_euler_discrete.py:172-242): outlier
+      mask is an OR, weights 0.4*EPE + 0.4*Fl + 0.2*AE.
+    """
     diff = pred_flows - ref_flows
     epe = jnp.sqrt(jnp.sum(diff ** 2, axis=3) + 1e-8)  # [B,C,T-1,H,W]
 
@@ -50,16 +60,21 @@ def _flow_similarity_scores(pred_flows: jnp.ndarray,
     cos = jnp.clip(dot / (nr * nc + 1e-8), -1.0, 1.0)
     ae = jnp.arccos(cos) * (180.0 / jnp.pi)
 
-    outlier = ((epe > 3.0) & (epe > nr * 0.05)).astype(jnp.float32)
+    if variant == "wan":
+        outlier = ((epe > 3.0) & (epe > nr * 0.05)).astype(jnp.float32)
+        w_epe, w_fl, w_ae = 0.45, 0.45, 0.1
+    else:
+        outlier = ((epe > 3.0) | (epe > nr * 0.05)).astype(jnp.float32)
+        w_epe, w_fl, w_ae = 0.4, 0.4, 0.2
 
     axes = (0, 2, 3, 4)
     m_epe = jnp.mean(epe, axis=axes)
     m_ae = jnp.mean(ae, axis=axes)
     fl_all = jnp.mean(outlier, axis=axes)
 
-    err = (0.45 * jnp.clip(m_epe / 10.0, 0.0, 1.0)
-           + 0.45 * jnp.clip(fl_all / 0.5, 0.0, 1.0)
-           + 0.1 * jnp.clip(m_ae / 30.0, 0.0, 1.0))
+    err = (w_epe * jnp.clip(m_epe / 10.0, 0.0, 1.0)
+           + w_fl * jnp.clip(fl_all / 0.5, 0.0, 1.0)
+           + w_ae * jnp.clip(m_ae / 30.0, 0.0, 1.0))
     return jnp.clip(1.0 - err, 0.0, 1.0)
 
 
@@ -73,7 +88,8 @@ def _temporal_diff_motion(video: jnp.ndarray) -> jnp.ndarray:
 
 def channel_similarities(pred_x0: jnp.ndarray,
                          ref_latents: jnp.ndarray,
-                         use_optical_flow: bool = True) -> np.ndarray:
+                         use_optical_flow: bool = True,
+                         variant: str = "wan") -> np.ndarray:
     """Per-channel flow-similarity scores [C] (host numpy)."""
     if use_optical_flow:
         from worldforge_tpu.ops.flow import video_channel_flows_pair
@@ -81,7 +97,7 @@ def channel_similarities(pred_x0: jnp.ndarray,
     else:
         pf = _temporal_diff_motion(pred_x0)
         rf = _temporal_diff_motion(ref_latents)
-    return np.asarray(_flow_similarity_scores(pf, rf))
+    return np.asarray(_flow_similarity_scores(pf, rf, variant=variant))
 
 
 def select_channels_wan(scores: np.ndarray, current_step: int) -> List[int]:

@@ -104,6 +104,84 @@ def wan_denoise_loop(
     return latents
 
 
+def longcat_denoise_loop(
+    model_fn: Callable,
+    latents: jnp.ndarray,
+    sched,
+    guidance: GuidanceConfig,
+    *,
+    key=None,
+    noise_fn: Optional[Callable] = None,
+    fuse_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """LongCat i2v denoise python loop (flow-match Euler + IRR/DSG on the
+    noise frames, cond frame in slot 0) — the host-loop twin of
+    longcat_denoise_scan, usable with noise_fn/callback-style injection.
+
+    model_fn(latents_full, t_scalar, i, r) -> NEGATED velocity for the full
+    latents (CFG-zero already applied). fuse_fn(x0_full, i, r) -> fused
+    full-latent x0 (invoked only at r == 0 while i < guide_steps, matching
+    the reference's guided/resampling gating). noise_fn(shape) overrides
+    the IRR re-noise draw (torch-compatible RNG injection for the drift
+    harness). Semantics: pipeline_longcat_video.py:835-991 +
+    scheduling_flow_match_euler_discrete.py:740-906 (fusion feeds pred_x0
+    -> the IRR re-noise only; the Euler update itself integrates the raw
+    velocity)."""
+    from worldforge_tpu.sampling.flow_match import (fm_add_noise,
+                                                    fm_euler_step,
+                                                    fm_pred_x0)
+
+    guided_on = guidance.guided and fuse_fn is not None
+
+    for i in range(sched.num_steps):
+        t_val = float(sched.timesteps[i])
+        deriv_history: List[jnp.ndarray] = []
+        prev_noise = None
+        n_resample = (guidance.resample_steps
+                      if (guidance.guided and i < guidance.resample_round)
+                      else 1)
+
+        for r in range(n_resample):
+            v = model_fn(latents, t_val, i, r)
+            v_noise = v[:, :, 1:]
+            # the reference records the SLICED noise-frame output (step()
+            # is called with noise_pred[:, :, 1:], pipeline :896) — DSG
+            # cosine/norm statistics must exclude the cond frame
+            deriv_history.append(v_noise)
+            x_noise = latents[:, :, 1:]
+            x0 = fm_pred_x0(sched, i, v_noise, x_noise)
+            if guided_on and i < guidance.guide_steps and r == 0:
+                # fuse on FULL latents with zeroed frame-0 output
+                # (scheduling_flow_match :861-886)
+                v_full = jnp.concatenate(
+                    [jnp.zeros_like(v[:, :, :1]), v_noise], axis=2)
+                x0_full = fm_pred_x0(sched, i, v_full, latents)
+                x0 = fuse_fn(x0_full, i, r)[:, :, 1:]
+
+            prev_noise = fm_euler_step(sched, i, x_noise, v_noise)
+
+            if i < guidance.resample_round and r < n_resample - 1:
+                if noise_fn is not None:
+                    noise = jnp.asarray(noise_fn(x0.shape), x0.dtype)
+                else:
+                    key, k_r = jax.random.split(key)
+                    noise = jax.random.normal(k_r, x0.shape, x0.dtype)
+                latents = latents.at[:, :, 1:].set(
+                    fm_add_noise(sched, i, x0, noise))
+
+        if (guidance.guided and i < guidance.resample_round
+                and len(deriv_history) > 1):
+            omega = (guidance.omega if i < guidance.guide_steps
+                     else guidance.omega_resample)
+            better = dsg_extrapolate(deriv_history[-1], deriv_history[0],
+                                     omega)
+            latents = latents.at[:, :, 1:].set(
+                fm_euler_step(sched, i, latents[:, :, 1:], better))
+        else:
+            latents = latents.at[:, :, 1:].set(prev_noise)
+    return latents
+
+
 # -------------------------------------------------------------- scan-fused
 
 
@@ -280,7 +358,9 @@ def longcat_denoise_scan(
                 elif seg_fuse:
                     pass  # reference fuses only when not resampling
                 prev = lat[:, :, 1:] + (sn_i - s_i) * vn
-                return v, x0, prev
+                # DSG history records the SLICED noise-frame output
+                # (pipeline :896 calls step with noise_pred[:, :, 1:])
+                return vn, x0, prev
 
             v0, x0, prev = run_r(lat, True)
             v_last = v0
@@ -295,7 +375,7 @@ def longcat_denoise_scan(
 
             if dsg_on:
                 better = dsg_extrapolate(v_last, v0, om_i)
-                nxt = lat[:, :, 1:] + (sn_i - s_i) * better[:, :, 1:]
+                nxt = lat[:, :, 1:] + (sn_i - s_i) * better
                 lat = lat.at[:, :, 1:].set(nxt)
             else:
                 lat = lat.at[:, :, 1:].set(prev)

@@ -87,7 +87,8 @@ def flf_select(pred_x0: jnp.ndarray, encoded_ref: jnp.ndarray,
     if cfg.flf_backend == "wan" and current_step < 2:
         return []  # avoid computing flows before they can be used
     scores = channel_similarities(pred_x0, encoded_ref,
-                                  use_optical_flow=cfg.use_optical_flow)
+                                  use_optical_flow=cfg.use_optical_flow,
+                                  variant=cfg.flf_backend)
     if cfg.flf_backend == "wan":
         return select_channels_wan(scores, current_step)
     return select_channels_longcat(scores, current_step, cfg.distill,
