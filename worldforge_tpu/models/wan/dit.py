@@ -219,7 +219,7 @@ def _heads(x, h):
 
 
 def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
-                    attn_impl="auto", mesh=None):
+                    attn_impl="auto", mesh=None, grid3d=None):
     cdt = policy.compute_dtype
     xq = x.astype(cdt)
     if "w8" in p["q"]:   # int8 serving: quantize the activations ONCE
@@ -237,7 +237,19 @@ def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
         v = P.dense(p["v"], xq)
     h = cfg.num_heads
     q, k = apply_rope_qk(_heads(q, h), _heads(k, h), cos, sin)
-    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+    sp2 = (mesh.shape.get("sp_h", 1) * mesh.shape.get("sp_w", 1)
+           if mesh is not None else 1)
+    if sp2 > 1 and grid3d is not None:
+        # 2D H x W context parallelism (xDiT's 2D USP analog): heads
+        # scatter over BOTH spatial mesh axes (parallel/cp2d.py)
+        from worldforge_tpu.parallel.cp2d import ulysses_attention_2d
+        b = x.shape[0]
+        f, gh, gw = grid3d
+        to6 = lambda a: a.reshape(b, f, gh, gw, h, cfg.head_dim)
+        o = ulysses_attention_2d(to6(q), to6(k), to6(_heads(v, h)),
+                                 mesh=mesh, impl=attn_impl)
+        o = o.reshape(b, f * gh * gw, h, cfg.head_dim)
+    elif mesh is not None and mesh.shape.get("sp", 1) > 1:
         from worldforge_tpu.parallel.ulysses import ulysses_attention
         o = ulysses_attention(q, k, _heads(v, h), mesh=mesh, impl=attn_impl)
     else:
@@ -281,7 +293,7 @@ def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
 def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
                           img_ctx_len: int = 0,
                           policy: Policy = DEFAULT_POLICY,
-                          attn_impl: str = "auto", mesh=None):
+                          attn_impl: str = "auto", mesh=None, grid3d=None):
     """One WanAttentionBlock. x: [B, L, dim] (fp32 residual stream),
     e0: [B, 6, dim] fp32, context: [B, Lc, dim]."""
     mod = (p["modulation"].astype(jnp.float32) + e0.astype(jnp.float32))
@@ -291,7 +303,7 @@ def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
     h1 = P.layer_norm({}, xf, eps=cfg.eps, out_dtype=jnp.float32)
     h1 = h1 * (1.0 + sc_sa) + sh_sa
     y = _self_attention(p["self_attn"], cfg, h1.astype(policy.compute_dtype),
-                        cos, sin, policy, attn_impl, mesh)
+                        cos, sin, policy, attn_impl, mesh, grid3d)
     xf = xf + y.astype(jnp.float32) * g_sa
 
     h2 = P.layer_norm(p["norm3"], xf, eps=cfg.eps, out_dtype=policy.compute_dtype)
@@ -357,8 +369,13 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
                  compute_dtype=policy.compute_dtype)
     if mesh is not None and mesh.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec as PS
-        h0 = jax.lax.with_sharding_constraint(
-            h0, NamedSharding(mesh, PS("dp", "sp", None)))
+        if mesh.shape.get("sp_h", 1) * mesh.shape.get("sp_w", 1) > 1:
+            from worldforge_tpu.parallel.cp2d import split_cp_2d
+            h5 = h0.reshape(b, f, hh, ww, -1)
+            h0 = split_cp_2d(h5, mesh).reshape(h0.shape)
+        elif "sp" in mesh.axis_names:
+            h0 = jax.lax.with_sharding_constraint(
+                h0, NamedSharding(mesh, PS("dp", "sp", None)))
 
     # time embeddings (fp32 island, model.py:546-550)
     te = sinusoidal_embedding_1d(cfg.freq_dim, t)
@@ -392,7 +409,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
 
     def body(carry, layer):
         out = wan_dit_layer_forward(layer, cfg, carry, e0, ctx, cos, sin,
-                                    img_ctx_len, policy, attn_impl, mesh)
+                                    img_ctx_len, policy, attn_impl, mesh,
+                                    grid)
         return out, None
 
     if remat:

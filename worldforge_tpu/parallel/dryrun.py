@@ -1,7 +1,20 @@
-"""Multi-chip dry run: jit the FULL guided denoise step over a real
-(dp, fsdp, sp) mesh on tiny shapes — validates shardings, collectives, and
-the Ulysses path without N physical chips (driver runs this on N virtual CPU
-devices)."""
+"""Multi-chip dry run: jit the PRODUCT pipelines over real meshes on tiny
+shapes — validates shardings, collectives, Ulysses/2D-CP/BSA-ring paths
+without N physical chips (the driver runs this on N virtual CPU devices).
+
+Three phases, all through the product entry points:
+  1. WanI2VPipeline.generate(fused=True): the whole guided denoise program
+     (wan_denoise_scan: UniPC + IRR + VAE fuse + device FLF + DSG) over a
+     (dp, fsdp, sp) mesh — Ulysses sequence parallelism in every layer.
+  2. LongCatPipeline.generate_refine: the BSA 720p-upscale SDEdit loop over
+     the same mesh — block-sparse attention through the ring-CP path.
+  3. wan_dit_forward over a 2D (sp_h x sp_w) mesh — the xDiT-style 2D
+     spatial context parallelism (parallel/cp2d.py) in the product model.
+     (XLA logs involuntary-remat warnings here: the flat [B,S,D] residual
+     stream between layers reshards into the 6-D spatial view per block.
+     Capability-parity path; 1D Ulysses is the serving default — keeping
+     the stream 5-D under 2D CP is the perf follow-up for real pods.)
+"""
 
 from __future__ import annotations
 
@@ -27,127 +40,154 @@ def _pick_mesh_dims(n: int):
 
 def run_dryrun(n_devices: int) -> None:
     from worldforge_tpu.core.mesh import make_mesh
-    from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
-                                               wan_dit_forward)
-    from worldforge_tpu.models.wan.vae import (WanVAEConfig, init_wan_vae,
-                                               vae_decode, vae_encode)
-    from worldforge_tpu.parallel.sharding import shard_params_fsdp
-    from worldforge_tpu.sampling.unipc import (flow_pred_x0,
-                                               make_flow_unipc_schedule,
-                                               unip_update)
 
     dp, fsdp, sp = _pick_mesh_dims(n_devices)
     mesh = make_mesh(dp=dp, fsdp=fsdp, sp=sp)
     print(f"dryrun mesh: dp={dp} fsdp={fsdp} sp={sp}")
 
-    vae_cfg = WanVAEConfig.tiny()  # z=4
-    # heads divisible by sp; token count divisible by sp
-    cfg = WanDiTConfig(model_type="i2v", in_dim=4 + 4 + vae_cfg.z_dim,
-                       out_dim=vae_cfg.z_dim, dim=64, ffn_dim=128,
-                       num_heads=4, num_layers=2, text_len=16, text_dim=32,
-                       freq_dim=16)
-    params = init_wan_dit(jax.random.key(0), cfg)
-    vae_params = init_wan_vae(jax.random.key(1), vae_cfg)
-
-    params = shard_params_fsdp(params, mesh)
-    vae_params = shard_params_fsdp(vae_params, mesh)
-
-    b = dp  # one sample per dp shard
-    f, hh, ww = 3, 8, 8  # latent grid; tokens = 3*4*4 = 48, div by sp<=4
-    x = jax.device_put(
-        jax.random.normal(jax.random.key(2),
-                          (b, vae_cfg.z_dim, f, hh, ww), jnp.float32),
-        NamedSharding(mesh, P("dp")))
-    cond = jax.device_put(
-        jax.random.normal(jax.random.key(3), (b, 8, f, hh, ww), jnp.float32),
-        NamedSharding(mesh, P("dp")))
-    ctx = jax.device_put(
-        jax.random.normal(jax.random.key(4), (b, cfg.text_len, cfg.text_dim),
-                          jnp.float32), NamedSharding(mesh, P("dp")))
-    clip_fea = jax.device_put(
-        jax.random.normal(jax.random.key(5), (b, 257, 1280), jnp.float32),
-        NamedSharding(mesh, P("dp")))
-    ref = jax.device_put(
-        jax.random.uniform(jax.random.key(6),
-                           (b, 3, 1 + 4 * (f - 1), hh * 8, ww * 8)),
-        NamedSharding(mesh, P("dp")))
-    mask = jnp.ones((b, 1, 1 + 4 * (f - 1), hh * 8, ww * 8), jnp.float32)
-
-    sched = make_flow_unipc_schedule(4)
-    gscale = 4.0
-
-    def guided_step(params, vae_params, x, cond, ctx, clip_fea, ref, mask):
-        t = jnp.full((b,), float(sched.timesteps[0]), jnp.float32)
-        v_c = wan_dit_forward(params, cfg, x, t, ctx, clip_fea=clip_fea,
-                              y=cond, mesh=mesh)
-        v_u = wan_dit_forward(params, cfg, x, t, ctx * 0.9,
-                              clip_fea=clip_fea, y=cond, mesh=mesh)
-        v = v_c + gscale * (v_c - v_u)                      # WF CFG form
-        x0 = flow_pred_x0(sched, 0, v, x)
-        dec = vae_decode(vae_params, vae_cfg, x0)           # fuse round-trip
-        fused = ref * mask + (dec * 0.5 + 0.5) * (1 - mask)
-        x0f = vae_encode(vae_params, vae_cfg, fused * 2.0 - 1.0)
-        return unip_update(sched, 0, 1, x, x0f)
-
-    with mesh:
-        step = jax.jit(guided_step)
-        out = step(params, vae_params, x, cond, ctx, clip_fea, ref, mask)
-        out.block_until_ready()
-    arr = np.asarray(out)
-    assert np.isfinite(arr).all(), "dryrun produced non-finite values"
-
-    _dryrun_longcat_bsa(mesh, dp, sp)
-    print(f"dryrun_multichip({n_devices}): ok, out {arr.shape}, "
+    out = _dryrun_wan_guided_fused(mesh, dp)
+    _dryrun_longcat_refine_bsa(mesh, dp)
+    _dryrun_wan_cp2d(n_devices)
+    print(f"dryrun_multichip({n_devices}): ok, out {out.shape}, "
           f"mesh=({dp},{fsdp},{sp})")
 
 
-def _dryrun_longcat_bsa(mesh, dp: int, sp: int) -> None:
-    """Phase 2: the LongCat distilled guided step sharded over the same
-    mesh — per-frame timesteps (frame 0 = cond), CFG-zero optimized scale
-    (pipeline_longcat_video.py:374-383), block-sparse attention through the
-    ring-CP path when sp>1, flow-match Euler update + IRR re-noise."""
-    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
-                                                   init_longcat_dit,
-                                                   longcat_dit_forward)
+def _tiny_wan(z: int = 4):
+    from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+    from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+
+    vae_cfg = WanVAEConfig.tiny()  # z=4
+    # heads divisible by sp (<=4) and by sp_h*sp_w (4); token count
+    # divisible by every sp the factorings produce
+    cfg = WanDiTConfig(model_type="i2v", in_dim=4 + 2 * vae_cfg.z_dim,
+                       out_dim=vae_cfg.z_dim, dim=64, ffn_dim=128,
+                       num_heads=4, num_layers=2, text_len=16, text_dim=32,
+                       freq_dim=16, clip_dim=64)
+    params = init_wan_dit(jax.random.key(0), cfg)
+    vae_params = init_wan_vae(jax.random.key(1), vae_cfg)
+    return cfg, params, vae_cfg, vae_params
+
+
+def _dryrun_wan_guided_fused(mesh, dp: int):
+    """Phase 1: the product fused guided pipeline over (dp, fsdp, sp)."""
     from worldforge_tpu.parallel.sharding import shard_params_fsdp
+    from worldforge_tpu.pipelines.wan_i2v import WanI2VPipeline
+    from worldforge_tpu.sampling.guidance import GuidanceConfig
 
-    cfg = LongCatDiTConfig.tiny()
-    params = shard_params_fsdp(
-        init_longcat_dit(jax.random.key(7), cfg), mesh)
-    b = dp
-    # latent grid (16, 4, 8) = 512 tokens = 4 chunks of (4,4,8): divisible
-    # by every sp the mesh factoring produces (<= 4)
-    f, hh, ww = 16, 8, 16
-    x = jax.device_put(
-        jax.random.normal(jax.random.key(8),
-                          (b, cfg.in_channels, f, hh, ww), jnp.float32),
-        NamedSharding(mesh, P("dp")))
-    ctx = jax.device_put(
-        jax.random.normal(jax.random.key(9), (b, 6, cfg.caption_channels),
-                          jnp.float32), NamedSharding(mesh, P("dp")))
-    sigma, sigma_next = 0.9, 0.7
+    cfg, params, vae_cfg, vae_params = _tiny_wan()
+    pipe = WanI2VPipeline(
+        dit_params=shard_params_fsdp(params, mesh), dit_cfg=cfg,
+        vae_params=shard_params_fsdp(vae_params, mesh), vae_cfg=vae_cfg,
+        mesh=mesh)
 
-    def distilled_step(params, x, ctx, key):
-        # refine-style: uniform t, no cond latents — BSA is only ever used
-        # on chunk-padded cond-free sequences in the reference
-        # (generate_refine, pipeline_longcat_video.py:1411-1428)
-        t = jnp.full((b, f), 700.0, jnp.float32)
-        v_c = longcat_dit_forward(params, cfg, x, t, ctx, mesh=mesh,
-                                  bsa_params={"sparsity": 0.5})
-        v_u = longcat_dit_forward(params, cfg, x, t, ctx * 0.9, mesh=mesh,
-                                  bsa_params={"sparsity": 0.5})
-        # CFG-zero optimized scale st* = <v_c, v_u> / ||v_u||^2
-        st = (jnp.sum(v_c * v_u) /
-              jnp.maximum(jnp.sum(v_u * v_u), 1e-8))
-        v = v_u * st + 4.0 * (v_c - v_u * st)
-        xn = x + (sigma_next - sigma) * v          # Euler flow step
-        x0 = xn - sigma_next * v
-        noise = jax.random.normal(key, x.shape)    # IRR re-noise
-        return (1.0 - sigma_next) * x0 + sigma_next * noise
+    b = dp  # one sample per dp shard
+    hpx, wpx, nframes = 64, 64, 9  # latents (b, 4, 3, 8, 8) -> 48 tokens
+    shard = lambda a: jax.device_put(a, NamedSharding(mesh, P("dp")))
+    image = shard(jax.random.uniform(jax.random.key(2), (b, 3, hpx, wpx),
+                                     jnp.float32) * 2.0 - 1.0)
+    pe = shard(jax.random.normal(jax.random.key(3),
+                                 (b, cfg.text_len, cfg.text_dim)))
+    ne = shard(jax.random.normal(jax.random.key(4),
+                                 (b, cfg.text_len, cfg.text_dim)))
+    ie = shard(jax.random.normal(jax.random.key(5), (b, 257, cfg.clip_dim)))
+    ref = shard(jax.random.uniform(jax.random.key(6),
+                                   (b, 3, nframes, hpx, wpx)))
+    mask = jnp.ones((b, 1, nframes, hpx, wpx), jnp.float32)
 
-    with mesh:
-        out = jax.jit(distilled_step)(params, x, ctx, jax.random.key(10))
+    g = GuidanceConfig(guided=True, guide_steps=2, resample_steps=2,
+                       resample_round=2, use_flf=True)
+    out = pipe.generate(
+        jax.random.key(7), image, pe, ne, ie, height=hpx, width=wpx,
+        num_frames=nframes, num_inference_steps=4, guidance_scale=4.0,
+        video_ref=ref, mask=mask, guidance=g, output_type="latent",
+        fused=True)
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all(), "wan fused dryrun non-finite"
+    print(f"  wan guided fused (wan_denoise_scan) phase: ok, out {arr.shape}")
+    return arr
+
+
+def _dryrun_longcat_refine_bsa(mesh, dp: int) -> None:
+    """Phase 2: the product BSA upscaler (generate_refine) over the same
+    mesh — per-frame timesteps, truncated Euler schedule, block-sparse
+    attention through the ring-CP path when sp>1
+    (pipeline_longcat_video.py:1271-1511)."""
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit)
+    from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+    from worldforge_tpu.pipelines.longcat import LongCatPipeline
+
+    import dataclasses as _dc
+
+    vae_cfg = WanVAEConfig.tiny()
+    cfg = _dc.replace(LongCatDiTConfig.tiny(),
+                      in_channels=vae_cfg.z_dim,
+                      out_channels=vae_cfg.z_dim)
+    pipe = LongCatPipeline(
+        dit_params=shard_params_fsdp(
+            init_longcat_dit(jax.random.key(8), cfg), mesh),
+        dit_cfg=cfg,
+        vae_params=shard_params_fsdp(
+            init_wan_vae(jax.random.key(9), vae_cfg), mesh),
+        vae_cfg=vae_cfg, mesh=mesh)
+
+    # stage1 32 frames -> temporal 2x -> 64 px frames -> 16 latent frames
+    # = 4 temporal BSA chunks (divisible by every sp <= 4); 64x128 px ->
+    # latent 8x16 -> token grid (16, 4, 8) = BSA chunks of (4, 4, 8)
+    stage1 = np.random.default_rng(0).uniform(
+        0, 1, (32, 32, 64, 3)).astype(np.float32)
+    pe = jax.random.normal(jax.random.key(10), (1, 6, cfg.caption_channels))
+    out = pipe.generate_refine(
+        jax.random.key(11), stage1, pe, None, height=64, width=128,
+        num_inference_steps=4, t_thresh=0.5, use_bsa=True,
+        bsa_sparsity=0.5, output_type="latent")
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all(), "longcat refine dryrun non-finite"
+    print(f"  longcat refine (generate_refine + BSA ring-CP) phase: ok, "
+          f"out {arr.shape}")
+
+
+def _dryrun_wan_cp2d(n_devices: int) -> None:
+    """Phase 3: the product Wan forward over a 2D (sp_h x sp_w) spatial
+    mesh (parallel/cp2d.py) + a solver update."""
+    if n_devices % 8 != 0:
+        print("  cp2d phase: skipped (needs n_devices % 8 == 0)")
+        return
+    from worldforge_tpu.models.wan.dit import wan_dit_forward
+    from worldforge_tpu.parallel.cp2d import make_mesh_2d
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+    from worldforge_tpu.sampling.unipc import (flow_pred_x0,
+                                               make_flow_unipc_schedule,
+                                               unip_update)
+
+    mesh2 = make_mesh_2d(dp=1, fsdp=n_devices // 4, sp_h=2, sp_w=2)
+    cfg, params, vae_cfg, _ = _tiny_wan()
+    params = shard_params_fsdp(params, mesh2)
+    b, f, hh, ww = 1, 3, 8, 8
+    x = jax.random.normal(jax.random.key(12),
+                          (b, vae_cfg.z_dim, f, hh, ww), jnp.float32)
+    cond = jax.random.normal(jax.random.key(13), (b, 4 + vae_cfg.z_dim,
+                                                  f, hh, ww), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(14),
+                            (b, cfg.text_len, cfg.text_dim), jnp.float32)
+    clip_fea = jax.random.normal(jax.random.key(15), (b, 257, cfg.clip_dim),
+                                 jnp.float32)
+    sched = make_flow_unipc_schedule(4)
+
+    def step(params, x, cond, ctx, clip_fea):
+        t = jnp.full((b,), float(sched.timesteps[0]), jnp.float32)
+        v_c = wan_dit_forward(params, cfg, x, t, ctx, clip_fea=clip_fea,
+                              y=cond, mesh=mesh2)
+        v_u = wan_dit_forward(params, cfg, x, t, ctx * 0.9,
+                              clip_fea=clip_fea, y=cond, mesh=mesh2)
+        v = v_c + 4.0 * (v_c - v_u)
+        return unip_update(sched, 0, 1, x, flow_pred_x0(sched, 0, v, x))
+
+    with mesh2:
+        out = jax.jit(step)(params, x, cond, ctx, clip_fea)
         out.block_until_ready()
     arr = np.asarray(out)
-    assert np.isfinite(arr).all(), "longcat dryrun produced non-finite"
-    print(f"  longcat+bsa phase: ok, out {arr.shape}")
+    assert np.isfinite(arr).all(), "cp2d dryrun non-finite"
+    print(f"  wan 2D-CP (sp_h x sp_w ulysses_attention_2d) phase: ok, "
+          f"out {arr.shape}")

@@ -50,6 +50,9 @@ class LongCatPipeline:
     vae_scale_s: int = 8
     streaming_vae: bool = False  # scan-streaming VAE (see WanI2VPipeline)
     streaming_vae_chunk: int = 1  # latent frames per decode scan step
+    # jax.sharding.Mesh for multi-chip serving: threaded into every DiT
+    # forward (Ulysses sp / BSA ring-CP dispatch in models/longcat/dit.py)
+    mesh: object = None
 
     def _vae_fns(self):
         if self.streaming_vae:
@@ -78,7 +81,7 @@ class LongCatPipeline:
             return longcat_dit_forward(
                 params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
                 encoder_attention_mask=ctx_mask,
-                num_cond_latents=num_cond_latents)
+                num_cond_latents=num_cond_latents, mesh=self.mesh)
 
         return run
 
@@ -93,7 +96,7 @@ class LongCatPipeline:
                 params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
                 encoder_attention_mask=ctx_mask,
                 num_cond_latents=num_cond_latents,
-                bsa_params={"sparsity": sparsity})
+                bsa_params={"sparsity": sparsity}, mesh=self.mesh)
 
         return run
 
@@ -123,12 +126,13 @@ class LongCatPipeline:
                 v = longcat_dit_forward(dit_params, cfg,
                                         lat.astype(jnp.float32), tb, pe,
                                         encoder_attention_mask=pmask,
-                                        num_cond_latents=1)
+                                        num_cond_latents=1, mesh=self.mesh)
                 if do_cfg:
                     vu = longcat_dit_forward(dit_params, cfg,
                                              lat.astype(jnp.float32), tb,
                                              ne, encoder_attention_mask=nmask,
-                                             num_cond_latents=1)
+                                             num_cond_latents=1,
+                                             mesh=self.mesh)
                     v = cfg_zero_combine(v, vu, gscale)
                 return -v
 

@@ -61,6 +61,9 @@ class WanI2VPipeline:
     # value; >1 trades activation memory for conv efficiency, and silently
     # falls back to 1 when it does not divide t-1)
     streaming_vae_chunk: int = 1
+    # jax.sharding.Mesh for multi-chip serving: threaded into every DiT
+    # forward (Ulysses sp / 2D sp_h x sp_w dispatch in models/wan/dit.py)
+    mesh: object = None
 
     # ------------------------------------------------------------ pieces
 
@@ -91,9 +94,9 @@ class WanI2VPipeline:
             y = condition.astype(jnp.float32)
             tb = jnp.broadcast_to(t, (latents.shape[0],))
             pred = wan_dit_forward(params, cfg, x, tb, ctx,
-                                   clip_fea=clip_fea, y=y)
+                                   clip_fea=clip_fea, y=y, mesh=self.mesh)
             uncond = wan_dit_forward(params, cfg, x, tb, ctx_neg,
-                                     clip_fea=clip_fea, y=y)
+                                     clip_fea=clip_fea, y=y, mesh=self.mesh)
             # WF CFG form: pred + g*(pred - uncond) (:611)
             return pred + gscale * (pred - uncond)
 
@@ -103,7 +106,7 @@ class WanI2VPipeline:
             y = condition.astype(jnp.float32)
             tb = jnp.broadcast_to(t, (latents.shape[0],))
             return wan_dit_forward(params, cfg, x, tb, ctx,
-                                   clip_fea=clip_fea, y=y)
+                                   clip_fea=clip_fea, y=y, mesh=self.mesh)
 
         return run, run_nocfg
 
@@ -136,10 +139,10 @@ class WanI2VPipeline:
                 y = condition.astype(jnp.float32)
                 tb = jnp.broadcast_to(t, (lat.shape[0],))
                 pred = wan_dit_forward(dit_params, cfg, x, tb, pe,
-                                       clip_fea=ie, y=y)
+                                       clip_fea=ie, y=y, mesh=self.mesh)
                 if do_cfg:
                     unc = wan_dit_forward(dit_params, cfg, x, tb, ne,
-                                          clip_fea=ie, y=y)
+                                          clip_fea=ie, y=y, mesh=self.mesh)
                     pred = pred + gscale * (pred - unc)
                 return pred
 
