@@ -14,6 +14,29 @@ from worldforge_tpu.models.depthcrafter.unet import SVDUNetConfig
 from worldforge_tpu.models.depthcrafter.vae import SVDVAEConfig
 
 
+class _Recorder:
+    """Wraps a state dict: tracks consumed keys and converts KeyError into
+    a loud layout-mismatch error at the offending name (instead of a bare
+    KeyError deep in a helper at real-weight-load time)."""
+
+    def __init__(self, sd):
+        self.sd = sd
+        self.used = set()
+
+    def __getitem__(self, k):
+        if k not in self.sd:
+            raise ValueError(
+                f"SVD checkpoint layout mismatch: missing key '{k}'. "
+                f"Expected the diffusers layout frozen in "
+                f"tests/fixtures/svd_unet_manifest.json — regenerate with "
+                f"tests/test_svd_manifest.py if the upstream layout moved.")
+        self.used.add(k)
+        return self.sd[k]
+
+    def __contains__(self, k):
+        return k in self.sd
+
+
 def _d(sd, name, dtype, bias=True):
     p = {"w": jnp.asarray(linear_w(sd, f"{name}.weight"), dtype)}
     if bias and f"{name}.bias" in sd:
@@ -104,7 +127,10 @@ def _st_transformer_c(sd, pre, layers, dtype):
 
 
 def convert_svd_unet(sd: Dict[str, np.ndarray], cfg: SVDUNetConfig,
-                     dtype=jnp.float32) -> dict:
+                     dtype=jnp.float32, strict: bool = True) -> dict:
+    """strict: after conversion, fail loudly if the checkpoint carries keys
+    the converter never consumed (a silent sign of a layout drift)."""
+    sd = _Recorder(sd)
     n = len(cfg.block_out_channels)
     params = {
         "conv_in": _c(sd, "conv_in", dtype),
@@ -151,13 +177,21 @@ def convert_svd_unet(sd: Dict[str, np.ndarray], cfg: SVDUNetConfig,
         if f"{pre}.upsamplers.0.conv.weight" in sd:
             blk["upsampler"] = _c(sd, f"{pre}.upsamplers.0.conv", dtype)
         params["up_blocks"].append(blk)
+    if strict:
+        unused = sorted(set(sd.sd) - sd.used)
+        if unused:
+            raise ValueError(
+                f"SVD checkpoint layout mismatch: {len(unused)} keys were "
+                f"never consumed (first 10: {unused[:10]})")
     return params
 
 
 def convert_svd_vae(sd: Dict[str, np.ndarray], cfg: SVDVAEConfig,
-                    dtype=jnp.float32) -> dict:
+                    dtype=jnp.float32, strict: bool = True) -> dict:
     """diffusers AutoencoderKLTemporalDecoder state dict -> init_svd_vae
-    pytree. Encoder: standard SD names; decoder: temporal blocks."""
+    pytree. Encoder: standard SD names; decoder: temporal blocks.
+    strict: fail loudly on unconsumed checkpoint keys."""
+    sd = _Recorder(sd)
     boc = cfg.block_out_channels
     enc = {"conv_in": _c(sd, "encoder.conv_in", dtype), "down": []}
     for i in range(len(boc)):
@@ -196,6 +230,12 @@ def convert_svd_vae(sd: Dict[str, np.ndarray], cfg: SVDVAEConfig,
     dec["norm_out"] = _gn(sd, "decoder.conv_norm_out", dtype)
     dec["conv_out"] = _c(sd, "decoder.conv_out", dtype)
     dec["time_conv_out"] = _c(sd, "decoder.time_conv_out", dtype)
+    if strict:
+        unused = sorted(set(sd.sd) - sd.used)
+        if unused:
+            raise ValueError(
+                f"SVD VAE checkpoint layout mismatch: {len(unused)} keys "
+                f"never consumed (first 10: {unused[:10]})")
     return {"encoder": enc, "decoder": dec}
 
 
