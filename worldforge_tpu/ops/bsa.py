@@ -250,6 +250,83 @@ def _bsa_reference(q, k, v, indices, counts, scale):
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+def _bsa_gathered(q, k, v, indices, counts, scale):
+    """Differentiable gathered-block form: mathematically identical to
+    _bsa_reference (indices are unique per q chunk) but memory scales with
+    kmax*CHUNK_K instead of the full S_k — the recompute the backward
+    differentiates through."""
+    bh, sq, d = q.shape
+    nq, nk = sq // CHUNK_Q, k.shape[1] // CHUNK_K
+    kmax = indices.shape[-1]
+    qc = q.reshape(bh, nq, CHUNK_Q, d).astype(jnp.float32)
+    kc = k.reshape(bh, nk, CHUNK_K, d).astype(jnp.float32)
+    vc = v.reshape(bh, nk, CHUNK_K, d).astype(jnp.float32)
+    # [BH, nq, kmax, C, d] via vmap row gather (fast XLA gather path)
+    kg = jax.vmap(lambda kk, ii: kk[ii])(kc, indices)
+    vg = jax.vmap(lambda vv, ii: vv[ii])(vc, indices)
+    s = jnp.einsum("bnqd,bnmkd->bnqmk", qc, kg) * scale
+    live = (jnp.arange(kmax)[None, None, :] < counts[..., None]
+            )[:, :, None, :, None]
+    s = jnp.where(live, s, _NEG_INF)
+    p = jax.nn.softmax(s.reshape(*s.shape[:3], -1), axis=-1).reshape(s.shape)
+    o = jnp.einsum("bnqmk,bnmkd->bnqd", p, vg)
+    return o.reshape(bh, sq, d).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bsa_sparse(q, k, v, meta):
+    """Sparse attention with fixed selection, differentiable.
+
+    meta: hashable (scale, impl, interpret, sparsity, cdf_threshold).
+    q/k/v [BH, S, D] chunk-rearranged; selection happens inside the
+    forward (and is saved for the backward). Backward (reference
+    capability parity, flash_attn_bsa_varlen_mask.py:289-946): recompute
+    the gathered-block attention and differentiate through it; the hard
+    top-k/CDF selection carries no gradient (identical to the reference
+    Triton backward, which differentiates under a fixed block mask)."""
+    out, _ = _bsa_sparse_fwd(q, k, v, meta)
+    return out
+
+
+def _bsa_dispatch(q, k, v, indices, counts, scale, impl, interpret):
+    if impl == "pallas":
+        bh_total, nq_, kmax = indices.shape
+        idx_flat = indices.reshape(bh_total, nq_ * kmax)
+        per_bh_ints = nq_ * kmax + nq_
+        group = max(1, min(bh_total, 150_000 // max(per_bh_ints, 1) or 1))
+        while bh_total % group != 0:
+            group -= 1
+        outs = []
+        for s0 in range(0, bh_total, group):
+            sl = slice(s0, s0 + group)
+            outs.append(_bsa_bhsd(q[sl], k[sl], v[sl], idx_flat[sl],
+                                  counts[sl], scale=scale, kmax=kmax,
+                                  interpret=interpret))
+        return jnp.concatenate(outs, axis=0)
+    return _bsa_reference(q, k, v, indices, counts, scale)
+
+
+def _bsa_sparse_fwd(q, k, v, meta):
+    scale, impl, interpret, sparsity, cdf_threshold = meta
+    indices, counts = select_blocks(q, k, sparsity=sparsity,
+                                    cdf_threshold=cdf_threshold,
+                                    head_dim=q.shape[-1])
+    out = _bsa_dispatch(q, k, v, indices, counts, scale, impl, interpret)
+    return out, (q, k, v, indices, counts)
+
+
+def _bsa_sparse_bwd(meta, res, g):
+    scale = meta[0]
+    q, k, v, indices, counts = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _bsa_gathered(q_, k_, v_, indices, counts, scale),
+        q, k, v)
+    return vjp(g)
+
+
+bsa_sparse.defvjp(_bsa_sparse_fwd, _bsa_sparse_bwd)
+
+
 # ---------------------------------------------------------------- top level
 
 
@@ -291,29 +368,14 @@ def bsa_attention_3d(q, k, v, latent_shape_q, latent_shape_k, *,
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qf, kf, vf = flat(qb), flat(kb), flat(vb)
-    indices, counts = select_blocks(qf, kf, sparsity=sparsity,
-                                    cdf_threshold=cdf_threshold,
-                                    head_dim=d)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "reference"
-    if impl in ("pallas", "pallas_interpret"):
-        interp = impl == "pallas_interpret"
-        # the scalar-prefetch index table lives in SMEM (~1 MB): chunk the
-        # batch*heads axis so each pallas_call's table fits
-        bh_total, nq_, kmax = indices.shape
-        idx_flat = indices.reshape(bh_total, nq_ * kmax)
-        per_bh_ints = nq_ * kmax + nq_
-        group = max(1, min(bh_total, 150_000 // max(per_bh_ints, 1) or 1))
-        while bh_total % group != 0:
-            group -= 1
-        outs = []
-        for s0 in range(0, bh_total, group):
-            sl = slice(s0, s0 + group)
-            outs.append(_bsa_bhsd(qf[sl], kf[sl], vf[sl], idx_flat[sl],
-                                  counts[sl], scale=scale, kmax=kmax,
-                                  interpret=interp))
-        of = jnp.concatenate(outs, axis=0)
-    else:
-        of = _bsa_reference(qf, kf, vf, indices, counts, scale)
+    interp = impl == "pallas_interpret"
+    impl = "pallas" if impl in ("pallas", "pallas_interpret") else "reference"
+    # custom-vjp wrapper: Pallas/reference forward + gathered-block
+    # recompute backward (the scalar-prefetch SMEM chunking lives in
+    # _bsa_dispatch)
+    of = bsa_sparse(qf, kf, vf,
+                    (scale, impl, interp, sparsity, cdf_threshold))
     ob = of.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     return rearrange_blocks_to_thw(ob, latent_shape_q, chunk_3d_shape_q)
