@@ -55,7 +55,10 @@ def main():
     cfg = dataclasses.replace(WanDiTConfig(model_type="t2v", in_dim=16),
                               num_layers=n_layers)
     key = jax.random.key(0)
-    params = init_wan_dit(key, cfg, dtype=jnp.bfloat16)
+    # layerwise builder: init_wan_dit materializes layers + stacked copy
+    # simultaneously (2x peak) and OOMs for near-HBM-sized bf16 models
+    from worldforge_tpu.models.wan.dit import init_wan_dit_layerwise
+    params = init_wan_dit_layerwise(key, cfg, dtype=jnp.bfloat16)
     _sync(params["blocks"]["ffn"]["fc1"]["w"])
     print(f"{n_layers}-layer 14B-width bf16 model resident")
 

@@ -162,32 +162,33 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
     return p
 
 
-def init_wan_dit_int8(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
-    """Full DiT with W8-quantized stacked blocks, built LAYER BY LAYER on
-    device: peak HBM = final int8 blocks + one transient bf16 layer, so the
-    Wan-14B (int8 blocks ~14 GB) fits a 16 GB v5e where the bf16 stacked
-    blocks (~28 GB) cannot even be materialized to quantize from.
+def init_wan_dit_layerwise(key, cfg: WanDiTConfig, dtype=jnp.bfloat16,
+                           layer_transform=None) -> dict:
+    """Full DiT built LAYER BY LAYER on device: peak HBM = final stacked
+    blocks + one transient layer — init_wan_dit materializes per-layer
+    arrays AND their stacked copy simultaneously (2x peak), which cannot
+    fit near-HBM-sized models on chip. Numerically identical to
+    init_wan_dit (same fold_in key schedule).
 
-    Numerically identical to quantize_tree(init_wan_dit(key, cfg, dtype))
-    (same fold_in key schedule; per-layer scales == stacked-axis scales)."""
+    layer_transform(layer_pytree) -> pytree is applied per layer before it
+    is written into the stack (e.g. quantize_tree for int8 serving)."""
     from functools import partial
 
-    from worldforge_tpu.ops.quant import quantize_tree
-
+    tf = layer_transform or (lambda t: t)
     ks = P.split_keys(key, 12)
 
-    def q_layer(k):
-        return quantize_tree(init_wan_dit_layer(k, cfg, dtype=dtype))
+    def mk_layer(k):
+        return tf(init_wan_dit_layer(k, cfg, dtype=dtype))
 
     layer_keys = [ks[0] if i == 0 else jax.random.fold_in(ks[0], i)
                   for i in range(cfg.num_layers)]
-    shapes = jax.eval_shape(q_layer, layer_keys[0])
+    shapes = jax.eval_shape(mk_layer, layer_keys[0])
     blocks = jax.tree_util.tree_map(
         lambda a: jnp.zeros((cfg.num_layers,) + a.shape, a.dtype), shapes)
 
     @partial(jax.jit, donate_argnums=0)
     def write(blocks, i, k):
-        lay = q_layer(k)
+        lay = mk_layer(k)
         return jax.tree_util.tree_map(
             lambda B, x: jax.lax.dynamic_update_index_in_dim(
                 B, x.astype(B.dtype), i, 0), blocks, lay)
@@ -196,9 +197,23 @@ def init_wan_dit_int8(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
         blocks = write(blocks, jnp.int32(i), lk)
 
     small_cfg = dataclasses.replace(cfg, num_layers=1)
-    p = quantize_tree(init_wan_dit(key, small_cfg, dtype=dtype))
+    p = tf(init_wan_dit(key, small_cfg, dtype=dtype))
     p["blocks"] = blocks
     return p
+
+
+def init_wan_dit_int8(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
+    """Full DiT with W8-quantized stacked blocks, built layer by layer on
+    device (see init_wan_dit_layerwise): the Wan-14B int8 blocks (~14 GB)
+    fit a 16 GB v5e where the bf16 stacked blocks (~28 GB) cannot even be
+    materialized to quantize from.
+
+    Numerically identical to quantize_tree(init_wan_dit(key, cfg, dtype))
+    (per-layer scales == stacked-axis scales)."""
+    from worldforge_tpu.ops.quant import quantize_tree
+
+    return init_wan_dit_layerwise(key, cfg, dtype,
+                                  layer_transform=quantize_tree)
 
 
 # ------------------------------------------------------------------ pieces
@@ -290,6 +305,28 @@ def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
     return P.dense(p["o"], o)
 
 
+# fused adaLN-LayerNorm prologue (ops/fused_norm.py): "auto" -> Pallas on
+# an unsharded TPU path, XLA chain elsewhere; "interpret" for CPU tests.
+# Default OFF: measured no-op at layer scale (+0.2%, within noise — XLA
+# already fuses the modulate chain; scripts/probe_fused_norm_ab.py,
+# docs/PERF.md). Kept as a CI-covered capability for wider-HBM shapes.
+_FUSED_NORM_MODE = "off"
+
+
+def _modulated_ln(xf, sc, sh, eps, out_dtype, mesh):
+    mode = _FUSED_NORM_MODE
+    use_pallas = (mode == "interpret"
+                  or (mode == "auto" and mesh is None
+                      and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from worldforge_tpu.ops.fused_norm import modulated_layer_norm
+        return modulated_layer_norm(xf, sc, sh, eps=eps,
+                                    out_dtype=out_dtype,
+                                    interpret=mode == "interpret")
+    h = P.layer_norm({}, xf, eps=eps, out_dtype=jnp.float32)
+    return (h * (1.0 + sc) + sh).astype(out_dtype)
+
+
 def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
                           img_ctx_len: int = 0,
                           policy: Policy = DEFAULT_POLICY,
@@ -300,9 +337,9 @@ def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
     sh_sa, sc_sa, g_sa, sh_ff, sc_ff, g_ff = [mod[:, i:i + 1] for i in range(6)]
 
     xf = x.astype(jnp.float32)
-    h1 = P.layer_norm({}, xf, eps=cfg.eps, out_dtype=jnp.float32)
-    h1 = h1 * (1.0 + sc_sa) + sh_sa
-    y = _self_attention(p["self_attn"], cfg, h1.astype(policy.compute_dtype),
+    h1 = _modulated_ln(xf, sc_sa, sh_sa, cfg.eps, policy.compute_dtype,
+                       mesh)
+    y = _self_attention(p["self_attn"], cfg, h1,
                         cos, sin, policy, attn_impl, mesh, grid3d)
     xf = xf + y.astype(jnp.float32) * g_sa
 
@@ -311,8 +348,8 @@ def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
                          policy, attn_impl, mesh)
     xf = xf + y.astype(jnp.float32)
 
-    h3 = P.layer_norm({}, xf, eps=cfg.eps, out_dtype=jnp.float32)
-    h3 = (h3 * (1.0 + sc_ff) + sh_ff).astype(policy.compute_dtype)
+    h3 = _modulated_ln(xf, sc_ff, sh_ff, cfg.eps, policy.compute_dtype,
+                       mesh)
     y = P.dense(p["ffn"]["fc2"], P.gelu_tanh(P.dense(p["ffn"]["fc1"], h3)))
     xf = xf + y.astype(jnp.float32) * g_ff
     return xf
