@@ -98,3 +98,71 @@ def test_quantized_wan_layer_forward(rng):
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
     assert np.isfinite(got).all()
     assert rel < 0.08, rel    # W8A8 end-to-end drift on a 2-layer model
+
+
+def test_init_longcat_dit_int8_matches_quantize_tree():
+    """Layerwise int8 builder == quantize_tree over the direct init (the
+    depth-dependent key schedule makes this non-trivial: the non-block
+    params must come from the FULL-depth schedule tail)."""
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit,
+                                                   init_longcat_dit_int8)
+
+    cfg = LongCatDiTConfig.tiny()
+    key = jax.random.key(7)
+    ref = quantize_tree(init_longcat_dit(key, cfg, dtype=jnp.float32))
+    got = init_longcat_dit_int8(key, cfg, dtype=jnp.float32)
+    ref_l, treedef_r = jax.tree_util.tree_flatten_with_path(ref)
+    got_l, treedef_g = jax.tree_util.tree_flatten_with_path(got)
+    assert treedef_r == treedef_g
+    for (pr, a), (_, b) in zip(ref_l, got_l):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            continue  # compared dequantized below (see wan test comment)
+        np.testing.assert_allclose(a.astype(np.float64),
+                                   b.astype(np.float64), rtol=3e-7,
+                                   atol=1e-9,
+                                   err_msg=jax.tree_util.keystr(pr))
+
+    def deq(t):
+        return {k: (np.asarray(v["w8"], np.float32)
+                    * np.asarray(v["scale"])[..., None, :]
+                    if isinstance(v, dict) and "w8" in v else
+                    deq(v) if isinstance(v, dict) else v)
+                for k, v in t.items()} if isinstance(t, dict) else t
+
+    for a, b in zip(jax.tree_util.tree_leaves(deq(ref)),
+                    jax.tree_util.tree_leaves(deq(got))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_quantized_longcat_forward(rng):
+    """int8 tree must keep the adaLN (t_embedder/adaln/final) islands in
+    fp and drift <8% through the full forward at tiny scale."""
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit,
+                                                   longcat_dit_forward)
+    from worldforge_tpu.ops.quant import is_quantized
+
+    cfg = LongCatDiTConfig.tiny()
+    params = init_longcat_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    qp = quantize_tree(params)
+    assert not is_quantized(qp["t_embedder"]["fc1"])
+    assert not is_quantized(qp["final"]["linear"])
+    assert is_quantized(qp["blocks"]["qkv"]) and \
+        is_quantized(qp["blocks"]["w2"])
+
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_channels, 3, 4, 4)),
+                    jnp.float32)
+    t = jnp.full((1, 3), 500.0, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 6, cfg.caption_channels)),
+                      jnp.float32)
+    ref = np.asarray(longcat_dit_forward(params, cfg, x, t, ctx,
+                                         policy=FP32_POLICY))
+    got = np.asarray(longcat_dit_forward(qp, cfg, x, t, ctx,
+                                         policy=FP32_POLICY))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert np.isfinite(got).all()
+    assert rel < 0.08, rel

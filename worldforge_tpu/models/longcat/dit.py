@@ -98,10 +98,19 @@ def init_longcat_layer(key, cfg: LongCatDiTConfig, dtype=jnp.float32) -> dict:
 
 def init_longcat_dit(key, cfg: LongCatDiTConfig, dtype=jnp.bfloat16) -> dict:
     ks = P.split_keys(key, cfg.depth + 8)
-    c = cfg.hidden_size
-    pin = cfg.in_channels * math.prod(cfg.patch_size)
     layers = [init_longcat_layer(ks[i], cfg, dtype) for i in range(cfg.depth)]
     blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    p = _init_longcat_nonblock(ks, cfg, dtype)
+    p["blocks"] = blocks
+    return p
+
+
+def _init_longcat_nonblock(ks, cfg: LongCatDiTConfig, dtype) -> dict:
+    """Embedders/head built from the tail of the depth+8 key schedule
+    (shared by the direct and layerwise builders so both yield identical
+    params for the same key)."""
+    c = cfg.hidden_size
+    pin = cfg.in_channels * math.prod(cfg.patch_size)
     return {
         "x_embedder": P.dense_init(ks[-1], pin, c, dtype=dtype),
         "t_embedder": {
@@ -114,7 +123,6 @@ def init_longcat_dit(key, cfg: LongCatDiTConfig, dtype=jnp.bfloat16) -> dict:
             "fc1": P.dense_init(ks[-4], cfg.caption_channels, c, dtype=dtype),
             "fc2": P.dense_init(ks[-5], c, c, dtype=dtype),
         },
-        "blocks": blocks,
         "final": {
             "adaln": P.dense_init(ks[-6], cfg.adaln_tembed_dim, 2 * c,
                                   dtype=jnp.float32),
@@ -123,6 +131,54 @@ def init_longcat_dit(key, cfg: LongCatDiTConfig, dtype=jnp.bfloat16) -> dict:
                                    dtype=dtype),
         },
     }
+
+
+def init_longcat_dit_layerwise(key, cfg: LongCatDiTConfig,
+                               dtype=jnp.bfloat16,
+                               layer_transform=None) -> dict:
+    """Full DiT built LAYER BY LAYER on device (same pattern as
+    wan.dit.init_wan_dit_layerwise): peak HBM = final stacked blocks + one
+    transient layer, so near-HBM-sized models fit where init_longcat_dit
+    (per-layer arrays + stacked copy simultaneously) cannot. Numerically
+    identical to init_longcat_dit (same key schedule).
+
+    layer_transform(layer_pytree) -> pytree runs per layer before stacking
+    (e.g. ops.quant.quantize_tree: LongCat-13.6B int8 blocks ~13.6 GB fit
+    a 16 GB v5e where bf16 blocks at 27 GB cannot)."""
+    from functools import partial
+
+    tf = layer_transform or (lambda t: t)
+    ks = P.split_keys(key, cfg.depth + 8)
+
+    def mk_layer(k):
+        return tf(init_longcat_layer(k, cfg, dtype))
+
+    shapes = jax.eval_shape(mk_layer, ks[0])
+    blocks = jax.tree_util.tree_map(
+        lambda a: jnp.zeros((cfg.depth,) + a.shape, a.dtype), shapes)
+
+    @partial(jax.jit, donate_argnums=0)
+    def write(blocks, i, k):
+        lay = mk_layer(k)
+        return jax.tree_util.tree_map(
+            lambda B, x: jax.lax.dynamic_update_index_in_dim(
+                B, x.astype(B.dtype), i, 0), blocks, lay)
+
+    for i in range(cfg.depth):
+        blocks = write(blocks, jnp.int32(i), ks[i])
+
+    p = tf(_init_longcat_nonblock(ks, cfg, dtype))
+    p["blocks"] = blocks
+    return p
+
+
+def init_longcat_dit_int8(key, cfg: LongCatDiTConfig,
+                          dtype=jnp.bfloat16) -> dict:
+    """int8 W8A8 serving build (see init_longcat_dit_layerwise)."""
+    from worldforge_tpu.ops.quant import quantize_tree
+
+    return init_longcat_dit_layerwise(key, cfg, dtype,
+                                      layer_transform=quantize_tree)
 
 
 # ------------------------------------------------------------------ pieces

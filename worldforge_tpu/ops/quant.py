@@ -86,7 +86,8 @@ _DEFAULT_KEYS = ("qkv", "attn_proj", "proj", "x_q", "x_kv", "x_proj",
 # fp32 numerics islands whose (small) matmuls must stay full precision:
 # the adaLN conditioning path is statistics-sensitive (FLF channel
 # selection thresholds ride on the latent statistics downstream)
-_EXCLUDE_PATHS = ("time_embedding", "time_projection", "head")
+_EXCLUDE_PATHS = ("time_embedding", "time_projection", "head",
+                  "t_embedder", "final")  # longcat adaLN/head islands
 
 
 def _default_pred(path: str) -> bool:

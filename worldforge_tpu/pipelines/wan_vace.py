@@ -82,6 +82,9 @@ class WanVacePipeline:
     vae_cfg: WanVAEConfig
     vae_scale_t: int = 4
     vae_scale_s: int = 8
+    # see WanI2VPipeline.streaming_vae (required for 480p x 49f on 16 GB)
+    streaming_vae: bool = False
+    streaming_vae_chunk: int = 1
 
     def generate(
         self,
@@ -130,8 +133,15 @@ class WanVacePipeline:
             latents = unip_update(sched, i, order, latents, m0,
                                   m1 if order >= 2 else None)
 
-        video = vae_decode(self.vae_params, self.vae_cfg, latents)
         if output_type == "latent":
             return latents
+        if self.streaming_vae:
+            from worldforge_tpu.models.wan.vae_stream import \
+                vae_decode_streaming
+            video = vae_decode_streaming(self.vae_params, self.vae_cfg,
+                                         latents,
+                                         chunk=self.streaming_vae_chunk)
+        else:
+            video = vae_decode(self.vae_params, self.vae_cfg, latents)
         out = (np.asarray(video, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)
