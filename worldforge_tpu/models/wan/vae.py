@@ -76,6 +76,14 @@ class WanVAEConfig:
 # --------------------------------------------------------------- primitives
 
 
+# conv3d lowering: "3d" = native lax 3D conv; "2d" = decompose the k_t
+# temporal taps into k_t temporally-shifted 2D convs summed (identical
+# math, different XLA lowering — TPU's Conv2D emitter is often faster
+# than Conv3D at VAE channel widths). Switched per-call-site after an
+# on-chip A/B; tests/test_vae_conv2d.py pins equivalence.
+_CONV3D_MODE = "3d"
+
+
 def _causal_conv3d(p, x, *, stride_t: int = 1, kt: int = 3,
                    spatial_same: bool = True, front_pad: Optional[int] = None):
     """x: [B,T,H,W,C]; kernel p['w']: [kt,kh,kw,in,out]. Temporal padding is
@@ -84,6 +92,9 @@ def _causal_conv3d(p, x, *, stride_t: int = 1, kt: int = 3,
         front_pad = p["w"].shape[0] - 1
     if front_pad:
         x = jnp.pad(x, ((0, 0), (front_pad, 0), (0, 0), (0, 0), (0, 0)))
+    if _CONV3D_MODE == "2d" and p["w"].shape[0] > 1 and p["w"].shape[1] > 1:
+        return _causal_conv3d_as_2d(p, x, stride_t=stride_t,
+                                    spatial_same=spatial_same)
     kh = p["w"].shape[1]
     pad_s = "SAME" if spatial_same and kh > 1 else "VALID"
     # temporal padding already applied -> VALID on T
@@ -93,6 +104,33 @@ def _causal_conv3d(p, x, *, stride_t: int = 1, kt: int = 3,
     y = jax.lax.conv_general_dilated(x, p["w"].astype(x.dtype),
                                      window_strides=(stride_t, 1, 1),
                                      padding=pad, dimension_numbers=dn)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def _causal_conv3d_as_2d(p, x, *, stride_t: int, spatial_same: bool):
+    """Same contract as the native branch of _causal_conv3d AFTER temporal
+    padding: y[t] = sum_kt conv2d(x[t*stride_t + kt], w[kt]). x: [B,Tp,H,W,C]
+    (already front-padded), kernel [kt,kh,kw,in,out]."""
+    ktaps, kh = p["w"].shape[0], p["w"].shape[1]
+    b, tp, hh, ww, c = x.shape
+    t_out = (tp - ktaps) // stride_t + 1
+    dn = None
+    pad = ([(kh // 2, kh // 2)] * 2 if spatial_same and kh > 1
+           else [(0, 0)] * 2)
+    y = None
+    for k in range(ktaps):
+        xs = x[:, k:k + (t_out - 1) * stride_t + 1:stride_t]
+        flat = xs.reshape(b * t_out, hh, ww, c)
+        if dn is None:
+            dn = jax.lax.conv_dimension_numbers(
+                flat.shape, p["w"].shape[1:], ("NHWC", "HWIO", "NHWC"))
+        yk = jax.lax.conv_general_dilated(
+            flat, p["w"][k].astype(x.dtype), window_strides=(1, 1),
+            padding=pad, dimension_numbers=dn)
+        y = yk if y is None else y + yk
+    y = y.reshape(b, t_out, y.shape[1], y.shape[2], y.shape[3])
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y

@@ -37,15 +37,12 @@ CACHE_T = 2
 
 def _cconv_cell(p, x, cache):
     """Causal conv3d k=(3,kh,kw): conv over [cache(2) || x], cache out =
-    last 2 frames of the padded input."""
+    last 2 frames of the padded input. Routed through vae._causal_conv3d
+    (front_pad=0: the cache IS the causal padding) so the 2D-decomposition
+    switch (vae._CONV3D_MODE) covers the streaming path too."""
+    from worldforge_tpu.models.wan.vae import _causal_conv3d
     xin = jnp.concatenate([cache, x], axis=1)
-    dn = jax.lax.conv_dimension_numbers(xin.shape, p["w"].shape,
-                                        ("NDHWC", "DHWIO", "NDHWC"))
-    kh = p["w"].shape[1]
-    pad = [(0, 0)] + [(kh // 2, kh // 2)] * 2
-    y = jax.lax.conv_general_dilated(xin, p["w"].astype(x.dtype),
-                                     (1, 1, 1), pad, dimension_numbers=dn)
-    y = y + p["b"].astype(y.dtype)
+    y = _causal_conv3d(p, xin, front_pad=0)
     return y, xin[:, -CACHE_T:]
 
 
