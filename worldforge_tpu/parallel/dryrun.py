@@ -48,6 +48,14 @@ def run_dryrun(n_devices: int) -> None:
     out = _dryrun_wan_guided_fused(mesh, dp)
     _dryrun_longcat_refine_bsa(mesh, dp)
     _dryrun_wan_cp2d(n_devices)
+    if n_devices % 8 == 0:
+        # the greedy factoring above never yields dp>1 at 8 devices;
+        # exercise real data parallelism (batch sharding + per-dp-shard
+        # FLF statistics) through the same product pipeline
+        mesh222 = make_mesh(dp=2, fsdp=2, sp=n_devices // 4)
+        out2 = _dryrun_wan_guided_fused(mesh222, 2)
+        print(f"  dp=2 phase: ok, out {out2.shape}, mesh=(2,2,"
+              f"{n_devices // 4})")
     print(f"dryrun_multichip({n_devices}): ok, out {out.shape}, "
           f"mesh=({dp},{fsdp},{sp})")
 
