@@ -43,7 +43,7 @@ def main():
                               jnp.float32)
 
     fns = {}
-    for mode in ("3d", "2d"):
+    for mode in ("3d", "2d", "pallas"):
         vae_mod._CONV3D_MODE = mode
         dec = jax.jit(lambda zz, _m=mode: vae_decode_streaming(
             params, cfg, zz))
@@ -71,9 +71,12 @@ def main():
             best[("enc", m)] = min(best[("enc", m)],
                                    time.perf_counter() - t0)
     for phase in ("dec", "enc"):
-        a, b = best[(phase, "3d")], best[(phase, "2d")]
-        print(f"{phase}: conv3d {a:.2f} s | conv2d-decomp {b:.2f} s "
-              f"({(a/b-1)*100:+.1f}%)")
+        row = " | ".join(f"{m} {best[(phase, m)]:.2f} s"
+                         for m in ("3d", "2d", "pallas"))
+        a = best[(phase, "3d")]
+        bestm = min(("2d", "pallas"), key=lambda m: best[(phase, m)])
+        print(f"{phase}: {row}  (best alt {bestm}: "
+              f"{(a/best[(phase, bestm)]-1)*100:+.1f}% vs 3d)")
 
 
 if __name__ == "__main__":

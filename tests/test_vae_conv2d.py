@@ -57,3 +57,46 @@ def test_vae_roundtrip_modes_match(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(v3), np.asarray(v2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv3d_pallas_matches_native(rng):
+    """ops/conv3d.py halo-tile kernel (interpret) vs the native lowering —
+    bf16-tap tolerance (the kernel casts fp32 inputs to bf16 for the MXU
+    dots, as XLA's own bf16 conv passes do)."""
+    p = P.conv_init(jax.random.key(3), 16, 24, (3, 3, 3))
+    x = jnp.asarray(rng.standard_normal((1, 7, 8, 16, 16)), jnp.float32)
+    old = vae_mod._CONV3D_MODE
+    try:
+        vae_mod._CONV3D_MODE = "3d"
+        a = np.asarray(vae_mod._causal_conv3d(p, x))
+        vae_mod._CONV3D_MODE = "pallas_interpret"
+        b = np.asarray(vae_mod._causal_conv3d(p, x))
+    finally:
+        vae_mod._CONV3D_MODE = old
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+    assert rel < 8e-3, rel
+
+
+def test_vae_decode_pallas_mode(rng):
+    """Whole tiny decode through the pallas mode: stride-1 3x3x3 convs run
+    the kernel, everything else (1x1x1, time convs, 2D resamplers) falls
+    back — output within bf16 drift of the native decode."""
+    cfg = WanVAEConfig.tiny()
+    params = init_wan_vae(jax.random.key(4), cfg)
+    z = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 3, 8, 8)),
+                    jnp.float32)
+    old = vae_mod._CONV3D_MODE
+    try:
+        vae_mod._CONV3D_MODE = "3d"
+        a = np.asarray(vae_decode(params, cfg, z))
+        vae_mod._CONV3D_MODE = "pallas_interpret"
+        b = np.asarray(vae_decode(params, cfg, z))
+    finally:
+        vae_mod._CONV3D_MODE = old
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+    # max (not RMS) drift through ~10 stacked bf16-tap convs on RANDOM-init
+    # weights (which amplify; trained VAEs are contractive). Per-conv error
+    # is pinned at 8e-3 above; this guards wiring, not numerics.
+    assert rel < 0.15, rel
+    rms = np.sqrt(((a - b) ** 2).mean()) / (np.sqrt((a ** 2).mean()) + 1e-8)
+    assert rms < 0.02, rms

@@ -79,7 +79,9 @@ class WanVAEConfig:
 # conv3d lowering: "3d" = native lax 3D conv; "2d" = decompose the k_t
 # temporal taps into k_t temporally-shifted 2D convs summed (identical
 # math, different XLA lowering — TPU's Conv2D emitter is often faster
-# than Conv3D at VAE channel widths). Switched per-call-site after an
+# than Conv3D at VAE channel widths); "pallas"/"pallas_interpret" =
+# ops/conv3d.py halo-tile MXU kernel (bf16 taps, fp32 acc) for the
+# stride-1 3x3x3 case, other cases fall back to "3d". Switched after an
 # on-chip A/B; tests/test_vae_conv2d.py pins equivalence.
 _CONV3D_MODE = "3d"
 
@@ -95,6 +97,12 @@ def _causal_conv3d(p, x, *, stride_t: int = 1, kt: int = 3,
     if _CONV3D_MODE == "2d" and p["w"].shape[0] > 1 and p["w"].shape[1] > 1:
         return _causal_conv3d_as_2d(p, x, stride_t=stride_t,
                                     spatial_same=spatial_same)
+    if (_CONV3D_MODE.startswith("pallas") and p["w"].shape[:3] == (3, 3, 3)
+            and stride_t == 1 and spatial_same and x.shape[1] >= 3):
+        from worldforge_tpu.ops.conv3d import conv3d_causal_pallas
+        return conv3d_causal_pallas(
+            x, p["w"], p.get("b"), out_dtype=x.dtype,
+            interpret=_CONV3D_MODE == "pallas_interpret")
     kh = p["w"].shape[1]
     pad_s = "SAME" if spatial_same and kh > 1 else "VALID"
     # temporal padding already applied -> VALID on T
