@@ -37,7 +37,7 @@ def _pick_block(n: int, target: int, mult: int = 1) -> int:
 
 
 def _conv_kernel(x_any, w_ref, b_ref, o_ref, xt, sem, *, bh, bw, t_out,
-                 cin, cout):
+                 cin, cout, im2col):
     bt = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -51,16 +51,24 @@ def _conv_kernel(x_any, w_ref, b_ref, o_ref, xt, sem, *, bh, bw, t_out,
     cp.start()
     cp.wait()
 
-    acc = jnp.zeros((bh * bw, cout), jnp.float32)
-    for kt in range(3):
-        for kh in range(3):
-            for kw in range(3):
-                xs = xt[kt, kh:kh + bh, kw:kw + bw, :]
-                xs = xs.astype(jnp.bfloat16).reshape(bh * bw, cin)
-                acc = acc + jax.lax.dot_general(
-                    xs, w_ref[kt, kh, kw],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+    taps = [xt[kt, kh:kh + bh, kw:kw + bw, :].reshape(bh * bw, cin)
+            for kt in range(3) for kh in range(3) for kw in range(3)]
+    if im2col:
+        # small-C stages: a [M, C]x[C, C] dot pads K and N to 128 lanes
+        # ((96/128)^2 = 56% MXU util); concatenating the 27 taps gives
+        # K = 27*C (~1% pad) — one near-fully-utilized dot. w_ref comes
+        # pre-reshaped [27*cin, cout] in the same (kt,kh,kw) order.
+        xcol = jnp.concatenate(taps, axis=-1)
+        acc = jax.lax.dot_general(xcol, w_ref[...],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((bh * bw, cout), jnp.float32)
+        for i, xs in enumerate(taps):
+            acc = acc + jax.lax.dot_general(
+                xs, w_ref[i // 9, (i // 3) % 3, i % 3],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
     acc = acc + b_ref[0].astype(jnp.float32)
     o_ref[0] = acc.reshape(bh, bw, cout).astype(o_ref.dtype)
 
@@ -77,7 +85,11 @@ def conv3d_causal_pallas(x, w, b=None, *, out_dtype=None,
     t_out = tp - 2
     out_dtype = out_dtype or x.dtype
 
-    # block sizes: fit (x tile + weights + acc) in ~13 MB VMEM
+    # im2col for lane-unaligned channel widths (the FLOP-dominant decode
+    # stages are C=96/192): K = 27*C one big dot instead of 27 padded ones
+    im2col = cin % 128 != 0
+
+    # block sizes: fit (x tile + weights + acc [+ xcol]) in ~13 MB VMEM
     bw_ = _pick_block(ww, 128, 8 if ww % 8 == 0 else 1)
     budget = 13 * 2 ** 20
     w_bytes = 27 * cin * cout * 2
@@ -85,11 +97,14 @@ def conv3d_causal_pallas(x, w, b=None, *, out_dtype=None,
     while bh_ > 1:
         xt_bytes = 3 * (bh_ + 2) * (bw_ + 2) * cin * 2
         acc_bytes = bh_ * bw_ * cout * 4
-        if w_bytes + xt_bytes + 2 * acc_bytes <= budget:
+        xcol_bytes = bh_ * bw_ * 27 * cin * 2 if im2col else 0
+        if w_bytes + xt_bytes + 2 * acc_bytes + xcol_bytes <= budget:
             break
         bh_ = _pick_block(hh, bh_ - 1)
 
     wb = w.astype(jnp.bfloat16)
+    if im2col:
+        wb = wb.reshape(27 * cin, cout)
     bb = (b if b is not None else jnp.zeros((cout,), jnp.float32))
     bb = bb.astype(jnp.float32).reshape(1, cout)
     xb = x.astype(jnp.bfloat16) if x.dtype != jnp.bfloat16 else x
@@ -97,14 +112,17 @@ def conv3d_causal_pallas(x, w, b=None, *, out_dtype=None,
     xp = jnp.pad(xb, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
 
     grid = (bN * t_out, hh // bh_, ww // bw_)
+    w_spec = (pl.BlockSpec((27 * cin, cout), lambda bt, j, k: (0, 0))
+              if im2col else
+              pl.BlockSpec((3, 3, 3, cin, cout),
+                           lambda bt, j, k: (0, 0, 0, 0, 0)))
     out = pl.pallas_call(
         functools.partial(_conv_kernel, bh=bh_, bw=bw_, t_out=t_out,
-                          cin=cin, cout=cout),
+                          cin=cin, cout=cout, im2col=im2col),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3, 3, 3, cin, cout),
-                         lambda bt, j, k: (0, 0, 0, 0, 0)),
+            w_spec,
             pl.BlockSpec((1, cout), lambda bt, j, k: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bh_, bw_, cout),
