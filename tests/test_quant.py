@@ -166,3 +166,43 @@ def test_quantized_longcat_forward(rng):
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
     assert np.isfinite(got).all()
     assert rel < 0.08, rel
+
+
+def test_quantized_avatar_forward(rng):
+    """Avatar DiT (base + audio cross-attn, keys a_q/a_kv/a_proj) through
+    quantize_tree: quantized big matmuls, bounded forward drift."""
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.models.longcat.avatar import (AvatarConfig,
+                                                      avatar_dit_forward,
+                                                      init_avatar_dit)
+    from worldforge_tpu.models.longcat.dit import LongCatDiTConfig
+    from worldforge_tpu.ops.quant import is_quantized
+
+    base = LongCatDiTConfig(in_channels=4, out_channels=4, hidden_size=64,
+                            depth=2, num_heads=2, caption_channels=32,
+                            adaln_tembed_dim=32,
+                            frequency_embedding_size=16)
+    cfg = AvatarConfig(base=base, audio_blocks=2, audio_channels=8,
+                       intermediate_dim=16, output_dim=8, context_tokens=4)
+    params = init_avatar_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    qp = quantize_tree(params)
+    assert is_quantized(qp["blocks"]["a_q"])
+    assert is_quantized(qp["blocks"]["qkv"])
+    assert not is_quantized(qp["t_embedder"]["fc1"])
+
+    t_frames, hh, ww = 3, 8, 8
+    x = jnp.asarray(rng.standard_normal((1, 4, t_frames, hh, ww)),
+                    jnp.float32)
+    t = jnp.full((1, t_frames), 500.0, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 6, 32)), jnp.float32)
+    n_video = 1 + 4 * (t_frames - 1)   # vae stride 4: 3 latent -> 9 video
+    audio = jnp.asarray(rng.standard_normal(
+        (1, n_video, cfg.audio_window, cfg.base.depth, cfg.output_dim)),
+        jnp.float32)
+    ref = np.asarray(avatar_dit_forward(params, cfg, x, t, ctx, audio,
+                                        policy=FP32_POLICY))
+    got = np.asarray(avatar_dit_forward(qp, cfg, x, t, ctx, audio,
+                                        policy=FP32_POLICY))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert np.isfinite(got).all()
+    assert 0.0 < rel < 0.08, rel
