@@ -1,0 +1,87 @@
+"""Flow-matching train step (worldforge_tpu/training) — loss decreases on
+an overfit batch, grads flow through the remat'd scan, and the sigma/
+velocity convention matches the inference solvers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+from worldforge_tpu.training import flow_match_loss, make_train_step
+
+
+def _setup(seed=0):
+    cfg = WanDiTConfig.tiny("t2v")
+    params = init_wan_dit(jax.random.key(seed), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    batch = {
+        "x0": jnp.asarray(rng.standard_normal((2, cfg.in_dim, 3, 8, 8)),
+                          jnp.float32),
+        "context": jnp.asarray(
+            rng.standard_normal((2, cfg.text_len, cfg.text_dim)),
+            jnp.float32),
+    }
+    return cfg, params, batch
+
+
+def test_train_step_decreases_loss():
+    cfg, params, batch = _setup()
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(cfg, opt))
+    losses = []
+    for i in range(6):
+        # fixed key: same sigma/noise each step -> pure overfit signal
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.key(42))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0] * 0.97, losses
+
+
+def test_loss_convention_matches_solver():
+    """pred == target velocity (eps - x0) zeroes the loss; and the
+    corrupted sample recovers x0 via the solver identity
+    x0 = x_sigma - sigma*v (sampling/unipc.flow_pred_x0 convention)."""
+    cfg, params, batch = _setup(1)
+    x0 = batch["x0"]
+    noise = jnp.asarray(
+        np.random.default_rng(2).standard_normal(x0.shape), jnp.float32)
+    sigma = jnp.asarray([0.3, 0.8], jnp.float32)
+    s = sigma[:, None, None, None, None]
+    x_sigma = (1 - s) * x0 + s * noise
+    v_true = noise - x0
+    np.testing.assert_allclose(np.asarray(x_sigma - s * v_true),
+                               np.asarray(x0), rtol=1e-5, atol=1e-5)
+    # the loss at the true velocity is the model's own squared error —
+    # strictly positive for a random-init model, zero if pred == target
+    loss = flow_match_loss(params, cfg, x0, noise, sigma, batch["context"],
+                           remat=False)
+    assert float(loss) > 0.0
+
+
+def test_train_step_fsdp_sharded():
+    """The same step jits over a (dp, fsdp, sp) mesh with FSDP params and
+    dp-sharded batch (8 virtual devices via conftest)."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from worldforge_tpu.core.mesh import make_mesh
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+
+    cfg, params, batch = _setup(3)
+    mesh = make_mesh(dp=2, fsdp=2, sp=2)
+    params = shard_params_fsdp(params, mesh)
+    batch = {k: jax.device_put(v, NamedSharding(
+        mesh, PS("dp", *([None] * (v.ndim - 1))))) for k, v in batch.items()}
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(cfg, opt, mesh=mesh))
+    params2, opt_state, loss = step(params, opt_state, batch,
+                                    jax.random.key(0))
+    assert np.isfinite(float(loss))
+    # params actually moved
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), params, params2)
+    assert max(jax.tree_util.tree_leaves(d)) > 0.0

@@ -56,6 +56,7 @@ def run_dryrun(n_devices: int) -> None:
         out2 = _dryrun_wan_guided_fused(mesh222, 2)
         print(f"  dp=2 phase: ok, out {out2.shape}, mesh=(2,2,"
               f"{n_devices // 4})")
+        _dryrun_train_step(mesh222)
     print(f"dryrun_multichip({n_devices}): ok, out {out.shape}, "
           f"mesh=({dp},{fsdp},{sp})")
 
@@ -154,6 +155,43 @@ def _dryrun_longcat_refine_bsa(mesh, dp: int) -> None:
     assert np.isfinite(arr).all(), "longcat refine dryrun non-finite"
     print(f"  longcat refine (generate_refine + BSA ring-CP) phase: ok, "
           f"out {arr.shape}")
+
+
+def _dryrun_train_step(mesh) -> None:
+    """Train phase: the FULL training step (flow-matching loss, remat'd
+    scan backward, adamw update) jitted over the (dp, fsdp, sp) mesh —
+    FSDP-sharded params + optimizer state, dp-sharded batch, GSPMD grad
+    reduction."""
+    import optax
+
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+    from worldforge_tpu.training import make_train_step
+
+    cfg, params, _, _ = _tiny_wan()
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, model_type="t2v", in_dim=4)
+    from worldforge_tpu.models.wan.dit import init_wan_dit
+    params = shard_params_fsdp(
+        init_wan_dit(jax.random.key(20), cfg, dtype=jnp.float32), mesh)
+    dp = mesh.shape["dp"]
+    batch = {
+        "x0": jax.device_put(
+            jax.random.normal(jax.random.key(21), (dp, 4, 3, 8, 8)),
+            NamedSharding(mesh, P("dp"))),
+        "context": jax.device_put(
+            jax.random.normal(jax.random.key(22),
+                              (dp, cfg.text_len, cfg.text_dim)),
+            NamedSharding(mesh, P("dp"))),
+    }
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(cfg, opt, mesh=mesh))
+    params2, opt_state, loss = step(params, opt_state, batch,
+                                    jax.random.key(23))
+    loss = float(loss)
+    assert np.isfinite(loss), "train dryrun non-finite loss"
+    print(f"  train step (flow-match + remat + adamw, FSDP) phase: ok, "
+          f"loss {loss:.3f}")
 
 
 def _dryrun_wan_cp2d(n_devices: int) -> None:

@@ -1,0 +1,3 @@
+from worldforge_tpu.training.step import (flow_match_loss, make_train_step)
+
+__all__ = ["flow_match_loss", "make_train_step"]
