@@ -24,22 +24,38 @@ import jax
 import jax.numpy as jnp
 
 
+def _wan_forward(params, cfg, x_sigma, t, context, *, y=None, clip_fea=None,
+                 mesh=None, remat=True):
+    from worldforge_tpu.models.wan.dit import wan_dit_forward
+    return wan_dit_forward(params, cfg, x_sigma, t, context, y=y,
+                           clip_fea=clip_fea, remat=remat, mesh=mesh)
+
+
+def longcat_forward(params, cfg, x_sigma, t, context, *, y=None,
+                    clip_fea=None, mesh=None, remat=True):
+    """LongCat adapter: per-frame timestep vector (blocks.py:166-205)."""
+    from worldforge_tpu.models.longcat.dit import longcat_dit_forward
+    tv = jnp.broadcast_to(t[:, None], (t.shape[0], x_sigma.shape[2]))
+    return longcat_dit_forward(params, cfg, x_sigma, tv, context,
+                               mesh=mesh, remat=remat)
+
+
 def flow_match_loss(params, cfg, x0, noise, sigma, context, *, y=None,
-                    clip_fea=None, mesh=None, remat: bool = True):
+                    clip_fea=None, mesh=None, remat: bool = True,
+                    forward_fn=_wan_forward):
     """Per-batch flow-matching MSE. x0/noise: [B, C, F, H, W]; sigma: [B]
     in (0, 1]; context: [B, text_len, text_dim]."""
-    from worldforge_tpu.models.wan.dit import wan_dit_forward
-
     s = sigma[:, None, None, None, None]
     x_sigma = (1.0 - s) * x0 + s * noise
     t = sigma * 1000.0
-    v = wan_dit_forward(params, cfg, x_sigma, t, context, y=y,
-                        clip_fea=clip_fea, remat=remat, mesh=mesh)
+    v = forward_fn(params, cfg, x_sigma, t, context, y=y,
+                   clip_fea=clip_fea, remat=remat, mesh=mesh)
     target = (noise - x0).astype(jnp.float32)
     return jnp.mean(jnp.square(v - target))
 
 
-def make_train_step(cfg, optimizer, *, mesh=None, remat: bool = True):
+def make_train_step(cfg, optimizer, *, mesh=None, remat: bool = True,
+                    forward_fn=_wan_forward):
     """Returns a jittable `step(params, opt_state, batch, key) ->
     (params, opt_state, loss)`. batch: dict with "x0" [B,C,F,H,W] and
     "context" [B,L,D] (plus optional "y"/"clip_fea" for i2v). sigma is
@@ -58,7 +74,7 @@ def make_train_step(cfg, optimizer, *, mesh=None, remat: bool = True):
         loss, grads = jax.value_and_grad(flow_match_loss)(
             params, cfg, batch["x0"], noise, sigma, batch["context"],
             y=batch.get("y"), clip_fea=batch.get("clip_fea"), mesh=mesh,
-            remat=remat)
+            remat=remat, forward_fn=forward_fn)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)
