@@ -156,3 +156,53 @@ def test_lora_train_step():
              zip(jax.tree_util.tree_leaves(params),
                  jax.tree_util.tree_leaves(merged))]
     assert max(moved) > 0.0
+
+
+def test_lora_export_roundtrip(tmp_path):
+    """save/load identity, and export_reference_lora round-trips through
+    the inference loader (convert_longcat_lora -> merge_lora_stacked):
+    the merged weights equal apply_lora's on a LongCat model."""
+    from worldforge_tpu.io.convert_longcat import (convert_longcat_lora,
+                                                   merge_lora_stacked)
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit)
+    from worldforge_tpu.training.lora import (apply_lora,
+                                              export_reference_lora,
+                                              init_lora, load_lora,
+                                              save_lora)
+
+    cfg = LongCatDiTConfig.tiny()
+    params = init_longcat_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    lora = init_lora(jax.random.key(1), params, rank=4)
+    assert any(p.endswith("qkv") for p in lora)
+    # give the zero-init ups real values so the delta is nonzero
+    lora = {p: {"down": a["down"],
+                "up": 0.1 * jax.random.normal(jax.random.fold_in(
+                    jax.random.key(2), i), a["up"].shape, jnp.float32)}
+            for i, (p, a) in enumerate(sorted(lora.items()))}
+
+    # disk round-trip
+    f = str(tmp_path / "adapters.safetensors")
+    save_lora(f, lora)
+    back = load_lora(f)
+    assert sorted(back) == sorted(lora)
+    for p in lora:
+        np.testing.assert_array_equal(np.asarray(lora[p]["down"]),
+                                      np.asarray(back[p]["down"]))
+        np.testing.assert_array_equal(np.asarray(lora[p]["up"]),
+                                      np.asarray(back[p]["up"]))
+
+    # reference-format round-trip: stacked blocks only (the loader's
+    # domain — the reference's LoRA surface is the DiT blocks)
+    scale = 0.7
+    blocks_lora = {p: a for p, a in lora.items() if p.startswith("blocks/")}
+    sd = export_reference_lora(blocks_lora, scale=scale)
+    assert any(k.startswith("blocks.0.attn.qkv.lora_down") for k in sd), \
+        sorted(sd)[:4]
+    merged_ref = merge_lora_stacked(params, convert_longcat_lora(sd))
+    merged_ours = apply_lora(params, blocks_lora, scale=scale)
+    flat_a = jax.tree_util.tree_leaves(merged_ref)
+    flat_b = jax.tree_util.tree_leaves(merged_ours)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)

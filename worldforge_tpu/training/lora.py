@@ -15,6 +15,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from worldforge_tpu.training.step import _wan_forward, flow_match_loss
 
@@ -101,3 +102,69 @@ def make_lora_train_step(cfg, optimizer, base_params, *, mesh=None,
         return lora, opt_state, loss
 
     return step
+
+
+# ------------------------------------------------- persistence / interop
+
+# inverse of io/convert_longcat.py::_TORCH_TO_TREE — exported LongCat
+# adapters use the reference's module names (lora_utils.py:15-197) so the
+# reference repo (and our own convert_longcat_lora -> merge_lora_stacked
+# path) can load them directly.
+_TREE_TO_TORCH = {
+    "qkv": "attn.qkv", "attn_proj": "attn.proj",
+    "x_q": "cross_attn.q_linear", "x_kv": "cross_attn.kv_linear",
+    "x_proj": "cross_attn.proj", "w1": "ffn.w1", "w2": "ffn.w2",
+    "w3": "ffn.w3", "adaln": "adaLN_modulation.1",
+}
+
+
+def save_lora(path: str, lora: Dict[str, dict]) -> None:
+    """Write adapters to one safetensors file (keys '<path>::down/up')."""
+    from safetensors.numpy import save_file
+    flat = {}
+    for p, a in lora.items():
+        flat[f"{p}::down"] = np.asarray(a["down"])
+        flat[f"{p}::up"] = np.asarray(a["up"])
+    save_file(flat, path)
+
+
+def load_lora(path: str) -> Dict[str, dict]:
+    from safetensors.numpy import load_file
+    lora: Dict[str, dict] = {}
+    for k, v in load_file(path).items():
+        p, leaf = k.rsplit("::", 1)
+        lora.setdefault(p, {})[leaf] = jnp.asarray(v)
+    return lora
+
+
+def export_reference_lora(lora: Dict[str, dict], *, scale: float = 1.0
+                          ) -> Dict[str, np.ndarray]:
+    """Trained adapters -> the reference's lora_utils state-dict layout
+    (per-layer '<module>.lora_down.weight' [r,in] / '.lora_up.weight'
+    [out,r] / '.alpha'). Stacked [L,...] adapters unroll to 'blocks.<i>.*';
+    alpha is set to rank*scale so the reference merge (multiplier *
+    alpha/rank * up@down) reproduces apply_lora(..., scale) exactly.
+    LongCat tree names map back to the reference module names; other
+    targets keep their '/'->'.' tree path."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def emit(base, down, up):
+        rank = down.shape[1]
+        sd[f"{base}.lora_down.weight"] = np.ascontiguousarray(
+            np.asarray(down, np.float32).T)
+        sd[f"{base}.lora_up.weight"] = np.ascontiguousarray(
+            np.asarray(up, np.float32).T)
+        sd[f"{base}.alpha"] = np.asarray(rank * scale, np.float32)
+
+    for p, a in lora.items():
+        parts = p.split("/")
+        leaf = _TREE_TO_TORCH.get(parts[-1], parts[-1])
+        down, up = np.asarray(a["down"]), np.asarray(a["up"])
+        if down.ndim == 3:  # stacked over the scanned layer axis
+            prefix = ".".join(parts[:-1]) or "blocks"
+            for i in range(down.shape[0]):
+                emit(f"{prefix}.{i}.{leaf}", down[i], up[i])
+        else:
+            emit(".".join(parts[:-1] + [leaf]) if len(parts) > 1 else leaf,
+                 down, up)
+    return sd
