@@ -152,9 +152,25 @@ def phase_i2v():
         _mem("post-oom")
 
 
+def phase_i2v_w4():
+    """The capacity fix for phase i2v's OOM: FFN weight-only int4 + W8A8
+    elsewhere (~13.6 GB blocks) — the full i2v WorldForge model, measured."""
+    from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit_w4
+
+    cfg = WanDiTConfig.wan_14b_i2v()
+    t0 = time.perf_counter()
+    params = init_wan_dit_w4(jax.random.key(3), cfg, dtype=jnp.bfloat16)
+    _sync(params["blocks"]["ffn"]["fc1"]["w4"])
+    print(f"layerwise w4/int8 init: {time.perf_counter()-t0:.1f} s")
+    _mem("post-init-14B-i2v-w4")
+    _run_full(cfg, params, "14B-i2v-ffn4")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["a", "b", "i2v"], required=True)
+    ap.add_argument("--phase", choices=["a", "b", "i2v", "i2v_w4"],
+                    required=True)
     args = ap.parse_args()
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
-    {"a": phase_a, "b": phase_b, "i2v": phase_i2v}[args.phase]()
+    {"a": phase_a, "b": phase_b, "i2v": phase_i2v,
+     "i2v_w4": phase_i2v_w4}[args.phase]()

@@ -10,6 +10,7 @@ run() {
   grep -v WARNING "/tmp/hw_${name}.log" | tail -8
 }
 run vae_conv_ab   python scripts/probe_vae_conv2d_ab.py
+run i2v_w4        python scripts/probe_full_model_int8.py --phase i2v_w4
 run depth_highres python scripts/probe_depth_highres.py
 run longcat_distill python scripts/probe_full_model_longcat_int8.py --phase distill
 run longcat_refine  python scripts/probe_full_model_longcat_int8.py --phase refine

@@ -206,3 +206,119 @@ def test_quantized_avatar_forward(rng):
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
     assert np.isfinite(got).all()
     assert 0.0 < rel < 0.08, rel
+
+
+# ------------------------------------------------------------------ int4
+
+
+def test_int4_pack_roundtrip():
+    """Weights already on the int4 grid survive quantize->dequantize
+    bit-exactly (incl. the stacked [L,in,out] layout and group scales)."""
+    from worldforge_tpu.ops.quant import dequantize_int4, quantize_weight_int4
+
+    rng = np.random.default_rng(0)
+    for shape, group in [((64, 48), 16), ((3, 32, 20), 8), ((50, 12), 128)]:
+        q = rng.integers(-7, 8, size=shape).astype(np.float32)
+        g0 = group if shape[-2] % group == 0 else shape[-2]
+        q.reshape(*shape[:-2], shape[-2] // g0, g0, shape[-1])[..., 0, :] = 7
+        # ^ every scale group holds a |q|=7 so max|w|/7 recovers s exactly
+        s = np.exp(rng.standard_normal(
+            (*shape[:-2], shape[-2] // (group if shape[-2] % group == 0
+                                        else shape[-2]), shape[-1]))
+        ).astype(np.float32)
+        g = group if shape[-2] % group == 0 else shape[-2]
+        w = (q.reshape(*shape[:-2], shape[-2] // g, g, shape[-1])
+             * s[..., :, None, :]).reshape(shape)
+        w4, s4 = quantize_weight_int4(jnp.asarray(w), group=group)
+        assert w4.dtype == jnp.uint8 and w4.shape[-2] == shape[-2] // 2
+        back = np.asarray(dequantize_int4({"w4": w4, "scale4": s4},
+                                          dtype=jnp.float32))
+        np.testing.assert_allclose(back, w, rtol=2e-6, atol=2e-6)
+
+
+def test_dense_q4_close_to_fp(rng):
+    from worldforge_tpu.ops.quant import dense_q4, quantize_dense_int4
+
+    k = jax.random.key(0)
+    p = P.dense_init(k, 256, 512)
+    x = jnp.asarray(rng.standard_normal((4, 64, 256)), jnp.float32)
+    ref = np.asarray(P.dense(p, x))
+    q = quantize_dense_int4(p, group=64)
+    got = np.asarray(dense_q4(q, x))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert rel < 0.08, rel   # int4 grid is 16x coarser than int8's 3%
+    # core dense dispatches on w4
+    np.testing.assert_allclose(np.asarray(P.dense(q, x)), got, rtol=1e-6)
+
+
+def test_quantize_tree_int4_mixed(rng):
+    """int4_keys routes matched leaves to W4; the rest stay W8A8 (the
+    Wan-14B i2v capacity config: FFN int4 + attention int8 ~= 13.6 GB)."""
+    tree = {"qkv": P.dense_init(jax.random.key(0), 64, 192),
+            "fc1": P.dense_init(jax.random.key(1), 64, 128),
+            "adaln": P.dense_init(jax.random.key(2), 32, 384)}
+    qt = quantize_tree(tree, int4_keys=("fc1", "fc2"), int4_group=32)
+    assert "w8" in qt["qkv"] and "w4" in qt["fc1"]
+    assert not is_quantized(qt["adaln"])
+    qt_all = quantize_tree(tree, int4_keys=("*",), int4_group=32)
+    assert "w4" in qt_all["qkv"] and "w4" in qt_all["fc1"]
+
+
+def test_quantized_wan_layer_forward_int4(rng):
+    """Full tiny Wan forward in the all-int4 capacity mode: finite,
+    bounded drift (coarser than W8A8 but the fp32 islands hold)."""
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
+                                               wan_dit_forward)
+
+    cfg = WanDiTConfig(model_type="t2v", in_dim=4, out_dim=4, dim=64,
+                       ffn_dim=128, num_heads=2, num_layers=2, text_len=8,
+                       text_dim=32, freq_dim=16)
+    params = init_wan_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    # the head is zero-init (reference convention) -> the output would be
+    # identically 0 for both trees and the gate vacuous; give it weights
+    h = params["head"]["head"]
+    params["head"]["head"] = dict(h, w=0.2 * jax.random.normal(
+        jax.random.key(3), h["w"].shape, h["w"].dtype))
+    x = jnp.asarray(rng.standard_normal((1, 4, 3, 8, 8)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+
+    ref = np.asarray(wan_dit_forward(params, cfg, x, t, ctx,
+                                     policy=FP32_POLICY))
+    qp = quantize_tree(params, int4_keys=("*",), int4_group=32)
+    got = np.asarray(wan_dit_forward(qp, cfg, x, t, ctx, policy=FP32_POLICY))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert np.isfinite(got).all()
+    assert 0.0 < rel < 0.15, rel
+
+
+def test_init_wan_dit_w4_matches_quantize_tree():
+    """Layerwise mixed w4/int8 builder == quantize_tree(int4_keys) over
+    the direct init (dequantized-weight comparison, as the int8 test)."""
+    from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
+                                               init_wan_dit_w4)
+    from worldforge_tpu.ops.quant import dequantize_int4
+
+    cfg = WanDiTConfig.tiny()
+    key = jax.random.key(7)
+    ref = quantize_tree(init_wan_dit(key, cfg, dtype=jnp.float32),
+                        int4_keys=("fc1", "fc2"), int4_group=32)
+    got = init_wan_dit_w4(key, cfg, dtype=jnp.float32, int4_group=32)
+    assert "w4" in got["blocks"]["ffn"]["fc1"]
+    assert "w8" in got["blocks"]["self_attn"]["q"]
+
+    def deq(t):
+        if isinstance(t, dict):
+            if "w4" in t:
+                return {"w": np.asarray(dequantize_int4(t, jnp.float32))}
+            if "w8" in t:
+                return {"w": np.asarray(t["w8"], np.float32)
+                        * np.asarray(t["scale"])[..., None, :]}
+            return {k: deq(v) for k, v in t.items()}
+        return t
+
+    for a, b in zip(jax.tree_util.tree_leaves(deq(ref)),
+                    jax.tree_util.tree_leaves(deq(got))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

@@ -43,6 +43,9 @@ def dense(p: dict, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
     if "w8" in p:  # int8 serving mode (ops/quant.py)
         from worldforge_tpu.ops.quant import dense_q8
         return dense_q8(p, x, out_dtype=compute_dtype or x.dtype)
+    if "w4" in p:  # int4 weight-only capacity mode (ops/quant.py)
+        from worldforge_tpu.ops.quant import dense_q4
+        return dense_q4(p, x, out_dtype=compute_dtype or x.dtype)
     w = p["w"]
     if compute_dtype is not None:
         w = w.astype(compute_dtype)

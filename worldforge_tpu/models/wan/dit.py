@@ -216,6 +216,22 @@ def init_wan_dit_int8(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
                                   layer_transform=quantize_tree)
 
 
+def init_wan_dit_w4(key, cfg: WanDiTConfig, dtype=jnp.bfloat16,
+                    int4_keys=("fc1", "fc2"), int4_group: int = 128) -> dict:
+    """Mixed-precision capacity build: weight-only int4 on ``int4_keys``
+    (default the FFN, 35% of layer params), W8A8 on the other big matmuls.
+    This is what fits the i2v variant on a 16 GB chip — its k_img/v_img
+    branches push all-int8 to ~16.1 GB (OOM); FFN-int4 lands ~13.6 GB.
+    int4_keys=("*",) quantizes every big matmul to int4 (~8 GB)."""
+    from worldforge_tpu.ops.quant import quantize_tree
+
+    def tf(tree):
+        return quantize_tree(tree, int4_keys=int4_keys,
+                             int4_group=int4_group)
+
+    return init_wan_dit_layerwise(key, cfg, dtype, layer_transform=tf)
+
+
 # ------------------------------------------------------------------ pieces
 
 

@@ -76,7 +76,72 @@ def dense_q8(p: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
 
 
 def is_quantized(p) -> bool:
-    return isinstance(p, dict) and "w8" in p
+    return isinstance(p, dict) and ("w8" in p or "w4" in p)
+
+
+# ------------------------------------------------------------------ int4
+# Weight-only W4 (group-scaled, nibble-packed). Purpose: CAPACITY, not
+# speed — the Mosaic toolchain has no int4 MXU rate, so W4 weights are
+# dequantized to bf16 per matmul (the transient [in,out] bf16 buffer +
+# its HBM round-trip is <2% of the matmul time at 20k tokens). This is
+# what fits the Wan-14B i2v variant (~16.4B params: int8 16.1 GB OOMs a
+# 16 GB v5e, FFN-int4 hybrid ~13.6 GB fits; all-int4 ~8 GB).
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = 128):
+    """[.., in, out] -> (uint8 [.., in/2, out] two-nibble packed,
+    fp32 scale [.., in/group, out]). Symmetric [-7, 7] per (group, out)
+    cell; rows 2i/2i+1 pack to the low/high nibble (stored offset by +8).
+    Falls back to per-output-channel scaling when ``group`` does not
+    divide the in-dim."""
+    wf = w.astype(jnp.float32)
+    in_dim, out_dim = wf.shape[-2], wf.shape[-1]
+    if in_dim % 2:
+        raise ValueError(f"int4 packing needs an even in-dim, got {in_dim}")
+    g = group if group and in_dim % group == 0 else in_dim
+    ng = in_dim // g
+    wg = wf.reshape(*wf.shape[:-2], ng, g, out_dim)
+    s = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / s[..., :, None, :]), -7, 7)
+    q = q.reshape(*wf.shape[:-2], in_dim, out_dim).astype(jnp.int8)
+    lo = (q[..., 0::2, :] + 8).astype(jnp.uint8)
+    hi = (q[..., 1::2, :] + 8).astype(jnp.uint8)
+    return lo | (hi << 4), s
+
+
+def quantize_dense_int4(p: dict, group: int = 128) -> dict:
+    """{"w": [in,out], "b"?} -> {"w4", "scale4", "b"?}."""
+    w4, s = quantize_weight_int4(p["w"], group=group)
+    out = {"w4": w4, "scale4": s}
+    if "b" in p:
+        out["b"] = p["b"].astype(jnp.float32)
+    return out
+
+
+def dequantize_int4(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Unpack {"w4", "scale4"} back to a dense [.., in, out] weight."""
+    u = p["w4"]
+    lo = (u & jnp.uint8(0xF)).astype(jnp.int8) - 8
+    hi = (u >> 4).astype(jnp.int8) - 8
+    half, out_dim = u.shape[-2], u.shape[-1]
+    q = jnp.stack([lo, hi], axis=-2)            # [.., in/2, 2, out]
+    q = q.reshape(*u.shape[:-2], half * 2, out_dim)
+    s = p["scale4"].astype(jnp.float32)
+    ng = s.shape[-2]
+    wq = q.reshape(*u.shape[:-2], ng, (half * 2) // ng, out_dim)
+    wq = wq.astype(jnp.float32) * s[..., :, None, :]
+    return wq.reshape(*u.shape[:-2], half * 2, out_dim).astype(dtype)
+
+
+def dense_q4(p: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """Weight-only int4 matmul: dequant to bf16, bf16 MXU dot."""
+    w = dequantize_int4(p, dtype=jnp.bfloat16)
+    y = lax.dot_general(x.astype(jnp.bfloat16), w,
+                        (((x.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
 
 
 _DEFAULT_KEYS = ("qkv", "attn_proj", "proj", "x_q", "x_kv", "x_proj",
@@ -96,17 +161,24 @@ def _default_pred(path: str) -> bool:
             and not any(p in _EXCLUDE_PATHS for p in parts))
 
 
-def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None):
+def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None,
+                  int4_keys: tuple = (), int4_group: int = 128):
     """Recursively convert dense param dicts whose '/'-joined dict path
     matches `predicate` (default: the big attention/FFN matmuls, excluding
     the fp32 time-embedding/head islands). Norms, adaLN, embeddings, and
-    output heads stay unquantized."""
+    output heads stay unquantized. Matched leaves whose final path key is
+    in ``int4_keys`` (or all of them, int4_keys=("*",)) get weight-only
+    int4 instead of W8A8 — the capacity mode for models whose int8
+    footprint exceeds HBM (Wan-14B i2v)."""
     pred = predicate or _default_pred
 
     def walk(node, path=""):
         if isinstance(node, dict):
             if "w" in node and not isinstance(node["w"], dict) \
                     and getattr(node["w"], "ndim", 0) in (2, 3) and pred(path):
+                leaf = path.split("/")[-1]
+                if "*" in int4_keys or leaf in int4_keys:
+                    return quantize_dense_int4(node, group=int4_group)
                 return quantize_dense(node)
             return {k: walk(v, f"{path}/{k}" if path else k)
                     for k, v in node.items()}
