@@ -14,10 +14,14 @@ system-prompt text and a pluggable backend:
     (system_prompt, user_prompt, seed) -> str; use this to plug in a local
     transformers model the user has on disk.
   - `TransformersPromptExpander(model_path)` — convenience wrapper that
-    lazily loads an HF causal LM from a LOCAL path (no downloads; this
-    environment has zero egress, as does any hosted-API path, which is why
-    there is no DashScope/OpenAI client here — pass a generate_fn that
-    wraps your own client in deployments that have network access).
+    lazily loads an HF causal LM from a LOCAL path (no downloads).
+  - `OpenAICompatPromptExpander(base_url, ...)` — hosted-API client over
+    stdlib HTTP for any OpenAI-compatible `/chat/completions` endpoint.
+    One client covers both reference backends: the LongCat enhancer's
+    OpenAI client (prompt_enhancer.py:106-199) directly, and DashScope
+    (prompt_extend.py:213-361) through its OpenAI-compatible mode
+    (`base_url=.../compatible-mode/v1`, model `qwen-plus`/`qwen-vl-max`).
+    Unit-tested against a local mock server; real use needs egress.
 
 Prompt rewriting is host-side text work; nothing here touches the TPU.
 """
@@ -232,6 +236,164 @@ class TransformersPromptExpander(LocalPromptExpander):
                                    max_new_tokens=self.max_new_tokens)
         gen = out[0][ids["input_ids"].shape[1]:]
         return self._tok.decode(gen, skip_special_tokens=True).strip()
+
+
+class OpenAICompatPromptExpander(PromptExpander):
+    """Hosted-API expander for OpenAI-compatible chat endpoints.
+
+    Behavioral reference: wan/utils/prompt_extend.py:213-361
+    (DashScopePromptExpander — retry loop returning
+    PromptOutput(status=False, prompt=<input>) after `retry_times`
+    failures, area-clamped image resize, seed passthrough, VL newline
+    escaping) and longcat_video/utils/prompt_enhancer.py:10-28,106-199
+    (JPEG compression to <=500 KB via quality back-off, base64 data-URL
+    image_url parts, temperature 0.01 / top_p 0.7 / max_tokens 320,
+    1 s sleep between retries, fall back to the input prompt).
+
+    Uses only stdlib urllib — no openai/dashscope SDK dependency.
+    """
+
+    def __init__(self, base_url: Optional[str] = None,
+                 model_name: Optional[str] = None,
+                 api_key: Optional[str] = None,
+                 is_vl: bool = False,
+                 retry_times: int = 4,
+                 max_image_size: int = 512 * 512,
+                 max_image_kb: int = 500,
+                 temperature: float = 0.01,
+                 top_p: float = 0.7,
+                 max_tokens: int = 320,
+                 timeout: float = 30.0,
+                 retry_sleep: float = 1.0):
+        import os  # noqa: PLC0415
+
+        if model_name is None:  # DashScope defaults (prompt_extend.py:231-232)
+            model_name = "qwen-vl-max" if is_vl else "qwen-plus"
+        super().__init__(model_name, is_vl)
+        self.base_url = (base_url or os.environ.get("OPENAI_BASE_URL")
+                         or os.environ.get("DASH_API_URL"))
+        if not self.base_url:
+            raise ValueError("base_url (or OPENAI_BASE_URL/DASH_API_URL) "
+                             "is not set")
+        self.api_key = (api_key or os.environ.get("OPENAI_API_KEY")
+                        or os.environ.get("DASH_API_KEY"))
+        if self.api_key is None:
+            raise ValueError("api_key (or OPENAI_API_KEY/DASH_API_KEY) "
+                             "is not set")
+        self.retry_times = retry_times
+        self.max_image_size = max_image_size
+        self.max_image_kb = max_image_kb
+        self.temperature = temperature
+        self.top_p = top_p
+        self.max_tokens = max_tokens
+        self.timeout = timeout
+        self.retry_sleep = retry_sleep
+
+    # -- transport -------------------------------------------------------
+
+    def _post_chat(self, messages, seed: int) -> dict:
+        import json as _json  # noqa: PLC0415
+        import urllib.request  # noqa: PLC0415
+
+        body = {
+            "model": self.model_name,
+            "messages": messages,
+            "temperature": self.temperature,
+            "top_p": self.top_p,
+            "max_tokens": self.max_tokens,
+            "stream": False,
+        }
+        if seed >= 0:
+            body["seed"] = int(seed)
+        req = urllib.request.Request(
+            self.base_url.rstrip("/") + "/chat/completions",
+            data=_json.dumps(body).encode("utf-8"),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {self.api_key}"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return _json.loads(resp.read().decode("utf-8"))
+
+    def _call_with_retries(self, messages, seed: int):
+        """Retry loop (prompt_extend.py:262-287 / prompt_enhancer.py:132-147):
+        returns (content, response_json) or raises the last exception."""
+        import time as _time  # noqa: PLC0415
+
+        exception = None
+        for attempt in range(self.retry_times):
+            try:
+                resp = self._post_chat(messages, seed)
+                return resp["choices"][0]["message"]["content"], resp
+            except Exception as e:  # noqa: BLE001 — mirror reference retry
+                exception = e
+                if attempt + 1 < self.retry_times and self.retry_sleep:
+                    _time.sleep(self.retry_sleep)
+        raise exception
+
+    # -- image encoding ----------------------------------------------------
+
+    def _encode_image(self, image) -> str:
+        """PIL image | path -> base64 JPEG data URL. Area-clamped to
+        max_image_size px (prompt_extend.py:299-309), then JPEG quality
+        backed off 85→10 until <= max_image_kb (prompt_enhancer.py:10-25)."""
+        import base64  # noqa: PLC0415
+        import io  # noqa: PLC0415
+        import math  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+
+        if isinstance(image, str):
+            image = Image.open(image)
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        area = min(image.width * image.height, self.max_image_size)
+        aspect = image.height / image.width
+        image = image.resize((round(math.sqrt(area / aspect)),
+                              round(math.sqrt(area * aspect))))
+        quality = 85
+        buf = io.BytesIO()
+        image.save(buf, format="JPEG", quality=quality)
+        while buf.tell() / 1024 > self.max_image_kb and quality > 10:
+            quality -= 5
+            buf = io.BytesIO()
+            image.save(buf, format="JPEG", quality=quality)
+        b64 = base64.b64encode(buf.getvalue()).decode("utf-8")
+        return f"data:image/jpeg;base64,{b64}"
+
+    # -- PromptExpander interface -----------------------------------------
+
+    def extend(self, prompt, system_prompt, seed=-1, **kw) -> PromptOutput:
+        import json as _json  # noqa: PLC0415
+
+        messages = [{"role": "system", "content": system_prompt},
+                    {"role": "user", "content": prompt}]
+        try:
+            content, resp = self._call_with_retries(messages, seed)
+            return PromptOutput(True, content, seed, system_prompt,
+                                _json.dumps(resp, ensure_ascii=False))
+        except Exception as e:  # noqa: BLE001
+            return PromptOutput(False, prompt, seed, system_prompt, str(e))
+
+    def extend_with_img(self, prompt, system_prompt, image=None, seed=-1,
+                        **kw) -> PromptOutput:
+        import json as _json  # noqa: PLC0415
+
+        images = image if isinstance(image, (list, tuple)) else [image]
+        parts = [{"type": "text", "text": prompt}]
+        parts += [{"type": "image_url",
+                   "image_url": {"url": self._encode_image(im)}}
+                  for im in images]
+        messages = [{"role": "system", "content": system_prompt},
+                    {"role": "user", "content": parts}]
+        try:
+            content, resp = self._call_with_retries(messages, seed)
+            # VL newline escaping quirk (prompt_extend.py:345,348)
+            return PromptOutput(True, content.replace("\n", "\\n"), seed,
+                                system_prompt,
+                                _json.dumps(resp, ensure_ascii=False))
+        except Exception as e:  # noqa: BLE001
+            return PromptOutput(False, prompt.replace("\n", "\\n"), seed,
+                                system_prompt, str(e))
 
 
 # ------------------------------------------------- LongCat-style helpers
