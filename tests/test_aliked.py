@@ -130,6 +130,23 @@ def test_dkd_threshold_fallback_and_border():
     assert tuple(np.round(kpts[0]).astype(int)) == (16, 16)
 
 
+def test_dkd_fallback_is_per_image():
+    """Regression: a batch where image A has a real peak and image B is
+    low-contrast — B must still fall back to its own mean threshold and
+    return keypoints (the reference decides the fallback per image)."""
+    hh = ww = 32
+    a = np.full((hh, ww), 0.001, np.float32)
+    a[16, 16] = 0.9                       # clears the threshold
+    b = np.full((hh, ww), 0.001, np.float32)
+    b[10, 12] = 0.002                     # below it everywhere
+    cfg = ALIKEDConfig.tiny(max_num_keypoints=4, detection_threshold=0.5)
+    kpts, scores = dkd_detect(jnp.asarray(np.stack([a, b])), cfg)
+    n_b = int((np.asarray(scores[1]) > 0).sum())
+    assert n_b >= 1, "low-contrast image lost its keypoints in a batch"
+    kb = np.asarray(kpts[1])[np.asarray(scores[1]) > 0]
+    assert tuple(np.round(kb[0]).astype(int)) == (12, 10)
+
+
 def test_sddh_shapes_and_norm(rng):
     cfg = ALIKEDConfig.tiny()
     params = init_aliked(jax.random.key(0), cfg)

@@ -80,3 +80,26 @@ def test_device_flf_selection_outlier_case():
     dev = np.asarray(select_mask_wan_device(jnp.asarray(scores),
                                             jnp.float32(20)))
     assert len(np.nonzero(dev)[0]) == len(host) == 6
+
+
+def test_longcat_unguided_default_is_single_pass():
+    """Regression: guided=True (the config default) with NO fuse_fn must be
+    a plain single-pass denoise — no IRR resampling, no DSG on
+    self-predictions (the reference pairs `guided` with a video reference;
+    pipeline_longcat_video.py:844)."""
+    from worldforge_tpu.sampling.engine import longcat_denoise_loop
+    from worldforge_tpu.sampling.flow_match import make_flow_match_schedule
+
+    sched = make_flow_match_schedule(6, shift=5.0)
+    g = GuidanceConfig(guided=True, resample_steps=3, guide_steps=4,
+                       resample_round=6, omega=4.0, use_flf=False)
+    calls = []
+
+    def model_fn(lat, t, i, r):
+        calls.append((i, r))
+        return jnp.tanh(0.1 * lat)
+
+    x0 = jax.random.normal(jax.random.key(1), (1, 4, 3, 4, 4), jnp.float32)
+    longcat_denoise_loop(model_fn, x0, sched, g,
+                         key=jax.random.key(2), fuse_fn=None)
+    assert calls == [(i, 0) for i in range(6)], calls

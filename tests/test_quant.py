@@ -322,3 +322,80 @@ def test_init_wan_dit_w4_matches_quantize_tree():
                     jax.tree_util.tree_leaves(deq(got))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_int4_excludes_conditioning_embeddings():
+    """Regression: int4_keys=("fc1","fc2") targets the FFN; the
+    text_embedding / img_emb conditioning MLPs (leaf names also fc1/fc2)
+    must stay W8A8, not drop to 4-bit (zero capacity win, fidelity cost)."""
+    import jax
+    from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit_w4
+
+    cfg = WanDiTConfig.tiny("i2v")
+    p = init_wan_dit_w4(jax.random.key(0), cfg, dtype=jnp.float32,
+                        int4_group=32)
+    assert "w4" in p["blocks"]["ffn"]["fc1"]
+    assert "w4" in p["blocks"]["ffn"]["fc2"]
+    for mod in ("text_embedding", "img_emb"):
+        for leaf in ("fc1", "fc2"):
+            node = p[mod][leaf]
+            assert "w4" not in node, f"{mod}/{leaf} got int4"
+            assert "w8" in node, f"{mod}/{leaf} lost int8"
+
+
+def test_lora_over_int8_base(rng):
+    """LoRA adapters over a quantized base: init_lora finds quantized
+    leaves, apply_lora attaches unmerged terms, dense() applies the delta,
+    and gradients flow (the module-docstring capability in training/lora)."""
+    import jax
+    from worldforge_tpu.core import params as P
+    from worldforge_tpu.ops.quant import quantize_tree
+    from worldforge_tpu.training.lora import apply_lora, init_lora
+
+    key = jax.random.key(3)
+    base = {"attn": {"q": P.dense_init(key, 64, 64, dtype=jnp.float32)}}
+    qbase = quantize_tree(base, predicate=lambda p: True)
+    assert "w8" in qbase["attn"]["q"]
+
+    lora = init_lora(jax.random.key(4), qbase, rank=4, targets=("q",))
+    assert list(lora) == ["attn/q"]
+    assert lora["attn/q"]["down"].shape == (64, 4)
+
+    x = jax.random.normal(jax.random.key(5), (2, 64), jnp.float32)
+    merged = apply_lora(qbase, lora)
+    # zero-init up => delta starts at exactly 0
+    np.testing.assert_allclose(np.asarray(P.dense(merged["attn"]["q"], x)),
+                               np.asarray(P.dense(qbase["attn"]["q"], x)))
+
+    def loss(lo):
+        m = apply_lora(qbase, lo)
+        return jnp.sum(P.dense(m["attn"]["q"], x) ** 2)
+
+    g = jax.grad(loss)(lora)
+    assert float(jnp.abs(g["attn/q"]["up"]).max()) > 0.0
+    # and a nonzero adapter changes the output
+    lora2 = jax.tree_util.tree_map(lambda a: a + 0.1, lora)
+    y2 = P.dense(apply_lora(qbase, lora2)["attn"]["q"], x)
+    assert float(jnp.abs(y2 - P.dense(qbase["attn"]["q"], x)).max()) > 1e-4
+
+
+def test_lora_over_int4_base(rng):
+    """Same over the int4 capacity build (packed in-dim must unpack to the
+    right adapter shape)."""
+    import jax
+    from worldforge_tpu.core import params as P
+    from worldforge_tpu.ops.quant import quantize_tree
+    from worldforge_tpu.training.lora import apply_lora, init_lora
+
+    base = {"ffn": {"fc1": P.dense_init(jax.random.key(6), 64, 96,
+                                        dtype=jnp.float32)}}
+    qbase = quantize_tree(base, predicate=lambda p: True,
+                          int4_keys=("fc1",), int4_group=32)
+    assert "w4" in qbase["ffn"]["fc1"]
+    lora = init_lora(jax.random.key(7), qbase, rank=4, targets=("fc1",))
+    assert lora["ffn/fc1"]["down"].shape == (64, 4)
+    assert lora["ffn/fc1"]["up"].shape == (4, 96)
+    x = jax.random.normal(jax.random.key(8), (2, 64), jnp.float32)
+    merged = apply_lora(qbase, lora)
+    np.testing.assert_allclose(np.asarray(P.dense(merged["ffn"]["fc1"], x)),
+                               np.asarray(P.dense(qbase["ffn"]["fc1"], x)))

@@ -64,7 +64,11 @@ def load_clouds(data_path: str, vid_name: str, downsample_factor: int,
     disp = normalize_disparity(disp)
     vid = _load_video(os.path.join(data_path, f"{vid_name}_input.mp4"))
     vid = vid[:, :h, :w]
-    for i in range(min(max_frames, t)):
+    n = min(max_frames, t, len(vid))
+    if n < min(max_frames, t):
+        print(f"warning: video decoded only {len(vid)} frames for "
+              f"{t} depth frames; exporting the common prefix")
+    for i in range(n):
         yield disparity_to_pointcloud(disp[i], vid[i], downsample_factor)
 
 

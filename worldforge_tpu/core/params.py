@@ -42,17 +42,27 @@ def dense_init(key, in_dim: int, out_dim: int, *, bias: bool = True,
 def dense(p: dict, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
     if "w8" in p:  # int8 serving mode (ops/quant.py)
         from worldforge_tpu.ops.quant import dense_q8
-        return dense_q8(p, x, out_dtype=compute_dtype or x.dtype)
-    if "w4" in p:  # int4 weight-only capacity mode (ops/quant.py)
+        y = dense_q8(p, x, out_dtype=compute_dtype or x.dtype)
+    elif "w4" in p:  # int4 weight-only capacity mode (ops/quant.py)
         from worldforge_tpu.ops.quant import dense_q4
-        return dense_q4(p, x, out_dtype=compute_dtype or x.dtype)
-    w = p["w"]
-    if compute_dtype is not None:
-        w = w.astype(compute_dtype)
-        x = x.astype(compute_dtype)
-    y = x @ w
-    if "b" in p:
-        y = y + p["b"].astype(y.dtype)
+        y = dense_q4(p, x, out_dtype=compute_dtype or x.dtype)
+    else:
+        w = p["w"]
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+            x = x.astype(compute_dtype)
+        y = x @ w
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+    if "lora_down" in p:
+        # unmerged adapter over a (possibly quantized) frozen base:
+        # y += ((x @ down) @ up) * scale — keeps the base int8/int4 in HBM
+        # (training/lora.py::apply_lora attaches these for quantized leaves)
+        xf = x.astype(jnp.float32)
+        delta = (xf @ p["lora_down"].astype(jnp.float32)) \
+            @ p["lora_up"].astype(jnp.float32)
+        y = (y.astype(jnp.float32)
+             + delta * jnp.float32(p.get("lora_scale", 1.0))).astype(y.dtype)
     return y
 
 

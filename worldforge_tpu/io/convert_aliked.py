@@ -16,26 +16,11 @@ from typing import Dict
 import jax.numpy as jnp
 import numpy as np
 
-from worldforge_tpu.io.torch_load import conv_to_hwio
+from worldforge_tpu.io.torch_load import StrictStateDict, conv_to_hwio
 from worldforge_tpu.sfm.aliked import ALIKEDConfig
 
-
-class _Recorder:
-    def __init__(self, sd):
-        self.sd = sd
-        self.used = set()
-
-    def __getitem__(self, k):
-        if k not in self.sd:
-            raise ValueError(
-                f"ALIKED checkpoint layout mismatch: missing key '{k}' "
-                f"(expected the lightglue/ALIKED layout frozen in "
-                f"tests/fixtures/aliked_manifest.json)")
-        self.used.add(k)
-        return self.sd[k]
-
-    def __contains__(self, k):
-        return k in self.sd
+_ALIKED_CTX = ("expected the lightglue/ALIKED layout frozen in "
+               "tests/fixtures/aliked_manifest.json")
 
 
 def _c(sd, name, dtype, bias=True):
@@ -74,7 +59,7 @@ def _block(sd, pre, dtype, res: bool):
 
 def convert_aliked(sd: Dict[str, np.ndarray], cfg: ALIKEDConfig,
                    dtype=jnp.float32, strict: bool = True) -> dict:
-    sd = _Recorder(sd)
+    sd = StrictStateDict(sd, _ALIKED_CTX)
     params = {
         "block1": _block(sd, "block1", dtype, res=False),
         "block2": _block(sd, "block2", dtype, res=True),

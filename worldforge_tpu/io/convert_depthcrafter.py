@@ -8,33 +8,15 @@ from typing import Dict
 import jax.numpy as jnp
 import numpy as np
 
-from worldforge_tpu.io.torch_load import (conv_to_hwio, linear_w,
-                                          load_state_dict)
+from worldforge_tpu.io.torch_load import (StrictStateDict, conv_to_hwio,
+                                          linear_w, load_state_dict)
 from worldforge_tpu.models.depthcrafter.unet import SVDUNetConfig
 from worldforge_tpu.models.depthcrafter.vae import SVDVAEConfig
 
 
-class _Recorder:
-    """Wraps a state dict: tracks consumed keys and converts KeyError into
-    a loud layout-mismatch error at the offending name (instead of a bare
-    KeyError deep in a helper at real-weight-load time)."""
-
-    def __init__(self, sd):
-        self.sd = sd
-        self.used = set()
-
-    def __getitem__(self, k):
-        if k not in self.sd:
-            raise ValueError(
-                f"SVD checkpoint layout mismatch: missing key '{k}'. "
-                f"Expected the diffusers layout frozen in "
-                f"tests/fixtures/svd_unet_manifest.json — regenerate with "
-                f"tests/test_svd_manifest.py if the upstream layout moved.")
-        self.used.add(k)
-        return self.sd[k]
-
-    def __contains__(self, k):
-        return k in self.sd
+_SVD_CTX = ("expected the diffusers layout frozen in "
+            "tests/fixtures/svd_unet_manifest.json - regenerate with "
+            "tests/test_svd_manifest.py if the upstream layout moved")
 
 
 def _d(sd, name, dtype, bias=True):
@@ -130,7 +112,7 @@ def convert_svd_unet(sd: Dict[str, np.ndarray], cfg: SVDUNetConfig,
                      dtype=jnp.float32, strict: bool = True) -> dict:
     """strict: after conversion, fail loudly if the checkpoint carries keys
     the converter never consumed (a silent sign of a layout drift)."""
-    sd = _Recorder(sd)
+    sd = StrictStateDict(sd, _SVD_CTX)
     n = len(cfg.block_out_channels)
     params = {
         "conv_in": _c(sd, "conv_in", dtype),
@@ -191,7 +173,7 @@ def convert_svd_vae(sd: Dict[str, np.ndarray], cfg: SVDVAEConfig,
     """diffusers AutoencoderKLTemporalDecoder state dict -> init_svd_vae
     pytree. Encoder: standard SD names; decoder: temporal blocks.
     strict: fail loudly on unconsumed checkpoint keys."""
-    sd = _Recorder(sd)
+    sd = StrictStateDict(sd, _SVD_CTX)
     boc = cfg.block_out_channels
     enc = {"conv_in": _c(sd, "encoder.conv_in", dtype), "down": []}
     for i in range(len(boc)):

@@ -83,3 +83,27 @@ def deconv_to_hwio(w: np.ndarray) -> np.ndarray:
     the conv gradient — equivalent only with the kernel mirrored
     (verified against torch; caught by tests/test_heads_parity.py)."""
     return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+class StrictStateDict:
+    """Wraps a state dict for converters: tracks consumed keys and turns a
+    missing key into a loud layout-mismatch error naming the offending key
+    and the frozen manifest to check, instead of a bare KeyError deep in a
+    helper at real-weight-load time. ``context`` is a short description of
+    the expected layout (e.g. which tests/fixtures manifest froze it)."""
+
+    def __init__(self, sd, context: str = ""):
+        self.sd = sd
+        self.context = context
+        self.used = set()
+
+    def __getitem__(self, k):
+        if k not in self.sd:
+            raise ValueError(
+                f"checkpoint layout mismatch: missing key '{k}'"
+                + (f" ({self.context})" if self.context else ""))
+        self.used.add(k)
+        return self.sd[k]
+
+    def __contains__(self, k):
+        return k in self.sd

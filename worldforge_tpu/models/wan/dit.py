@@ -253,7 +253,10 @@ def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
                     attn_impl="auto", mesh=None, grid3d=None):
     cdt = policy.compute_dtype
     xq = x.astype(cdt)
-    if "w8" in p["q"]:   # int8 serving: quantize the activations ONCE
+    if "w8" in p["q"] and not any(
+            "lora_down" in p[k] for k in ("q", "k", "v")):
+        # int8 serving: quantize the activations ONCE (LoRA-decorated
+        # leaves take the generic P.dense path so adapter deltas apply)
         from worldforge_tpu.ops.quant import (dense_q8_pre,
                                               quantize_activations)
         x8, sx = quantize_activations(xq)

@@ -153,6 +153,11 @@ _DEFAULT_KEYS = ("qkv", "attn_proj", "proj", "x_q", "x_kv", "x_proj",
 # selection thresholds ride on the latent statistics downstream)
 _EXCLUDE_PATHS = ("time_embedding", "time_projection", "head",
                   "t_embedder", "final")  # longcat adaLN/head islands
+# Conditioning embeddings (computed once per clip, ~0 capacity win) keep
+# W8A8 even when the leaf name matches an int4 key: 4-bit noise on the
+# text/CLIP conditioning path buys no memory and costs fidelity.
+_INT4_EXCLUDE_PATHS = ("text_embedding", "img_emb", "txt_in", "vector_in",
+                       "audio_proj")
 
 
 def _default_pred(path: str) -> bool:
@@ -177,7 +182,9 @@ def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None,
             if "w" in node and not isinstance(node["w"], dict) \
                     and getattr(node["w"], "ndim", 0) in (2, 3) and pred(path):
                 leaf = path.split("/")[-1]
-                if "*" in int4_keys or leaf in int4_keys:
+                parts = path.split("/")
+                int4_ok = not any(p in _INT4_EXCLUDE_PATHS for p in parts)
+                if int4_ok and ("*" in int4_keys or leaf in int4_keys):
                     return quantize_dense_int4(node, group=int4_group)
                 return quantize_dense(node)
             return {k: walk(v, f"{path}/{k}" if path else k)

@@ -151,11 +151,11 @@ def apply_rope_qk(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
     b, s, h, d = q.shape
     hi = 520 if jnp.dtype(q.dtype).itemsize <= 2 else 260
     block_s = _pick_block_s(s, hi=hi)
-    if interpret is None:
-        interpret = False
-        on_tpu = jax.default_backend() == "tpu"
+    if interpret:
+        on_tpu = True  # explicit request: run the kernel in interpret mode
     else:
-        on_tpu = True  # explicit request: run the kernel regardless
+        interpret = False  # None and False both mean backend-dispatch
+        on_tpu = jax.default_backend() == "tpu"
     usable = (on_tpu and q.shape == k.shape
               and block_s > 0 and h % 8 == 0 and d % 128 == 0)
     if not usable:

@@ -131,6 +131,11 @@ def longcat_denoise_loop(
                                                     fm_euler_step,
                                                     fm_pred_x0)
 
+    # In the reference, `guided` implies a warped video reference is wired in
+    # (pipeline_longcat_video.py:844 gates the IRR loop on self.guided, and
+    # guided runs always carry video_latents). Here that pairing is explicit:
+    # without a fuse_fn the call is a plain single-pass denoise, so IRR
+    # resampling and DSG must not fire on self-predictions.
     guided_on = guidance.guided and fuse_fn is not None
 
     for i in range(sched.num_steps):
@@ -138,7 +143,7 @@ def longcat_denoise_loop(
         deriv_history: List[jnp.ndarray] = []
         prev_noise = None
         n_resample = (guidance.resample_steps
-                      if (guidance.guided and i < guidance.resample_round)
+                      if (guided_on and i < guidance.resample_round)
                       else 1)
 
         for r in range(n_resample):
@@ -169,7 +174,7 @@ def longcat_denoise_loop(
                 latents = latents.at[:, :, 1:].set(
                     fm_add_noise(sched, i, x0, noise))
 
-        if (guidance.guided and i < guidance.resample_round
+        if (guided_on and i < guidance.resample_round
                 and len(deriv_history) > 1):
             omega = (guidance.omega if i < guidance.guide_steps
                      else guidance.omega_resample)

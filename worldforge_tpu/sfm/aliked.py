@@ -301,8 +301,10 @@ def dkd_detect(score_map: jnp.ndarray, cfg: ALIKEDConfig
     nms = jnp.where(border[None], nms, 0.0)
 
     # threshold, with the reference's fallback to the mean score when
-    # nothing clears it
-    th = jnp.where((nms > cfg.detection_threshold).any(),
+    # nothing clears it — decided per image, not batch-globally (a
+    # low-contrast image in a batch must still fall back to its own mean)
+    has_peak = (nms > cfg.detection_threshold).reshape(b, -1).any(axis=-1)
+    th = jnp.where(has_peak.reshape(b, 1, 1),
                    cfg.detection_threshold,
                    score_map.reshape(b, -1).mean(axis=-1).reshape(b, 1, 1))
     masked = jnp.where(nms > th, nms, -1.0).reshape(b, -1)

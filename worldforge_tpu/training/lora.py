@@ -30,18 +30,28 @@ def init_lora(key, params, *, rank: int = 16, targets=LORA_TARGETS,
     Stacked scan weights [L, in, out] get per-layer adapters."""
     adapters: Dict[str, dict] = {}
 
+    def leaf_shape(node):
+        """(in, out) or (L, in, out) for dense OR quantized leaves."""
+        if "w" in node and not isinstance(node["w"], dict) \
+                and getattr(node["w"], "ndim", 0) in (2, 3):
+            return tuple(node["w"].shape)
+        if "w8" in node and getattr(node["w8"], "ndim", 0) in (2, 3):
+            return tuple(node["w8"].shape)
+        if "w4" in node and getattr(node["w4"], "ndim", 0) in (2, 3):
+            s = node["w4"].shape  # packed 2-per-byte on the in-dim
+            return s[:-2] + (s[-2] * 2, s[-1])
+        return None
+
     def walk(node, path):
         if isinstance(node, dict):
-            if ("w" in node and not isinstance(node["w"], dict)
-                    and getattr(node["w"], "ndim", 0) in (2, 3)
-                    and path.split("/")[-1] in targets):
-                w = node["w"]
+            shape = leaf_shape(node)
+            if shape is not None and path.split("/")[-1] in targets:
                 k = jax.random.fold_in(key, len(adapters))
-                if w.ndim == 2:
-                    dshape, ushape = (w.shape[0], rank), (rank, w.shape[1])
+                if len(shape) == 2:
+                    dshape, ushape = (shape[0], rank), (rank, shape[1])
                 else:
-                    dshape = (w.shape[0], w.shape[1], rank)
-                    ushape = (w.shape[0], rank, w.shape[2])
+                    dshape = (shape[0], shape[1], rank)
+                    ushape = (shape[0], rank, shape[2])
                 adapters[path] = {
                     "down": (jax.random.normal(k, dshape, dtype)
                              / jnp.sqrt(jnp.float32(rank)).astype(dtype)),
@@ -63,6 +73,12 @@ def apply_lora(params, lora: Dict[str, dict], scale: float = 1.0):
         if isinstance(node, dict):
             if path in lora:
                 a = lora[path]
+                if "w" not in node:
+                    # int8/int4 frozen base: leave the quantized weight in
+                    # place and attach unmerged low-rank terms; core.params
+                    # dense() adds ((x @ down) @ up) * scale at matmul time
+                    return dict(node, lora_down=a["down"], lora_up=a["up"],
+                                lora_scale=jnp.float32(scale))
                 delta = jnp.matmul(a["down"].astype(jnp.float32),
                                    a["up"].astype(jnp.float32)) * scale
                 w = node["w"].astype(jnp.float32) + delta
