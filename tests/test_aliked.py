@@ -307,10 +307,11 @@ def test_make_extractors_combo(rng):
         aliked_cfg=ALIKEDConfig.tiny(),
         superpoint_cfg=SuperPointConfig.tiny())
     assert set(exts) == {"aliked", "sp", "sift"}
-    fn = combined_extract_fn(exts)
+    fn = combined_extract_fn(exts)   # default: sub-pixel (tracking path)
     kpts = fn(img)
     assert kpts.ndim == 2 and kpts.shape[1] == 2
-    np.testing.assert_array_equal(kpts, np.round(kpts))  # rounded
+    kr = combined_extract_fn(exts, round_keypoints=True)(img)
+    np.testing.assert_array_equal(kr, np.round(kr))  # opt-in rounding
     # default fallback
     assert set(make_extractors("nope", 16,
                                aliked_cfg=ALIKEDConfig.tiny())) == {"aliked"}

@@ -82,11 +82,13 @@ def test_kitti_reader_matches_reference(tmp_path, rng):
 
 
 def test_factor_readers_match_reference(tmp_path, rng):
-    raw = rng.integers(0, 20000, (6, 7)).astype(np.uint16)
+    raw = rng.integers(256, 20000, (6, 7)).astype(np.uint16)
+    raw[2, 3] = 0     # invalid pixel: bonn maps it to -1, scannet/nyu keep 0
     p = str(tmp_path / "d.png")
     _write_png16(p, raw)
-    np.testing.assert_array_equal(png_depth_read(p, 5000.0),
-                                  _ref_module("bonn").depth_read(p))
+    np.testing.assert_array_equal(
+        png_depth_read(p, 5000.0, zero_invalid=True),
+        _ref_module("bonn").depth_read(p))
     np.testing.assert_array_equal(png_depth_read(p, 1000.0),
                                   _ref_module("scannet").depth_read(p))
     np.testing.assert_array_equal(png_depth_read(p, 1000.0),
@@ -156,15 +158,22 @@ def test_extract_bonn_e2e(tmp_path, rng):
                    rng, (24, 32))
         _write_png16(str(tmp_path / "bonn" / seq / "depth" / f"f_{i:04d}.png"),
                      rng.integers(0, 30000, (24, 32)).astype(np.uint16))
+    # force one zero (invalid) pixel: the TUM convention maps it to -1
+    _write_png16(str(tmp_path / "bonn" / seq / "depth" / "f_0000.png"),
+                 np.concatenate([np.zeros((1, 32), np.uint16),
+                                 rng.integers(256, 30000, (23, 32))
+                                 .astype(np.uint16)]))
     out = str(tmp_path / "out") + "/"
     extract_bonn(str(tmp_path / "bonn"), str(tmp_path / "bonn"),
+                 start_frame=0, end_frame=110,
                  csv_save_path=str(tmp_path / "out/bonn.csv"),
                  saved_rgb_dir=out, saved_disp_dir=out)
     rows = _check_contract(out, str(tmp_path / "out/bonn.csv"), 1,
                            (3, 1, 24, 32))
-    # depth decoded with the TUM 1/5000 factor
+    # depth decoded with the TUM 1/5000 factor; raw 0 -> -1.0 (bonn.py:19)
     disp = np.load(osp.join(out, rows[0]["filepath_disparity"]))["disparity"]
     assert disp.max() <= 30000 / 5000.0
+    assert (disp[0, 0, 0] == -1.0).all()
 
 
 def test_extract_scannet_e2e(tmp_path, rng):

@@ -58,11 +58,18 @@ def kitti_depth_read(filename: str) -> np.ndarray:
     return depth
 
 
-def png_depth_read(filename: str, factor: float) -> np.ndarray:
-    """16-bit png / factor (bonn: 5000, scannet/nyu: 1000)."""
+def png_depth_read(filename: str, factor: float,
+                   zero_invalid: bool = False) -> np.ndarray:
+    """16-bit png / factor (bonn: 5000, scannet/nyu: 1000).
+    zero_invalid: map raw-0 (no measurement) to -1.0 — the TUM/bonn
+    convention (dataset_extract_bonn.py:14-20); scannet/nyu keep 0."""
     from PIL import Image
 
-    return np.asarray(Image.open(filename)).astype(np.float64) / factor
+    depth_png = np.asarray(Image.open(filename))
+    depth = depth_png.astype(np.float64) / factor
+    if zero_invalid:
+        depth[depth_png == 0] = -1.0
+    return depth
 
 
 def _img_read(path: str) -> np.ndarray:
@@ -173,7 +180,9 @@ def extract_kitti(root, depth_root, sample_len=-1, csv_save_path="",
 
 def extract_bonn(root, depth_root, sample_len=-1, csv_save_path="",
                  dataset_name="bonn", saved_rgb_dir="", saved_disp_dir="",
-                 start_frame=0, end_frame=110):
+                 start_frame=30, end_frame=140):
+    """Frame window 30..140 and even-crop per the reference's bonn
+    protocol (dataset_extract_bonn.py:90-103,153-154)."""
     samples = []
     for seq_name in sorted(os.listdir(depth_root)):
         rgbs = _numeric_sort([x for x in os.listdir(
@@ -186,10 +195,12 @@ def extract_bonn(root, depth_root, sample_len=-1, csv_save_path="",
             imgs = [_img_read(osp.join(root, seq_name, "rgb", rgbs[i]))
                     for i in range(a, b)]
             deps = [png_depth_read(
-                osp.join(depth_root, seq_name, "depth", deps_n[i]), 5000.0)
+                osp.join(depth_root, seq_name, "depth", deps_n[i]), 5000.0,
+                zero_invalid=True)
                 for i in range(a, b)]
             samples.append(_write_sample(seq_name, imgs, deps, dataset_name,
-                                         saved_rgb_dir, saved_disp_dir))
+                                         saved_rgb_dir, saved_disp_dir,
+                                         even_crop=True))
     _write_csv(csv_save_path, samples)
     return samples
 

@@ -25,8 +25,10 @@ def main(argv=None):
     ap.add_argument("--csv", default=None,
                     help="CSV path (default <out>/<dataset>.csv)")
     ap.add_argument("--sample-len", type=int, default=-1)
-    ap.add_argument("--start-frame", type=int, default=0)
-    ap.add_argument("--end-frame", type=int, default=110)
+    ap.add_argument("--start-frame", type=int, default=None,
+                    help="default: kitti 0, bonn 30 (reference protocols)")
+    ap.add_argument("--end-frame", type=int, default=None,
+                    help="default: kitti 110, bonn 140")
     ap.add_argument("--filename-list", default=None,
                     help="NYU pair-list file (rgb, _, filled depth)")
     ap.add_argument("--scene-number", type=int, default=16)
@@ -44,15 +46,17 @@ def main(argv=None):
         EXTRACTORS["sintel"](args.root, depth_root,
                              sample_len=args.sample_len, **common)
     elif args.dataset == "kitti":
+        s = 0 if args.start_frame is None else args.start_frame
+        e = 110 if args.end_frame is None else args.end_frame
         EXTRACTORS["kitti"](args.root, depth_root,
                             sample_len=args.sample_len,
-                            start_frame=args.start_frame,
-                            end_frame=args.end_frame, **common)
+                            start_frame=s, end_frame=e, **common)
     elif args.dataset == "bonn":
+        s = 30 if args.start_frame is None else args.start_frame
+        e = 140 if args.end_frame is None else args.end_frame
         EXTRACTORS["bonn"](args.root, depth_root,
                            sample_len=args.sample_len,
-                           start_frame=args.start_frame,
-                           end_frame=args.end_frame, **common)
+                           start_frame=s, end_frame=e, **common)
     elif args.dataset == "scannet":
         EXTRACTORS["scannet"](args.root, sample_len=args.sample_len,
                               scene_number=args.scene_number,

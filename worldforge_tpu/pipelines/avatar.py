@@ -122,8 +122,8 @@ class AvatarPipeline:
             latents = latents.at[:, :, 1:].set(
                 fm_euler_step(sched, i, latents[:, :, 1:], v[:, :, 1:]))
 
-        video = vae_decode(self.vae_params, self.vae_cfg, latents)
         if output_type == "latent":
             return latents
+        video = vae_decode(self.vae_params, self.vae_cfg, latents)
         out = (np.asarray(video, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)

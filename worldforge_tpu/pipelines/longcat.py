@@ -222,9 +222,9 @@ class LongCatPipeline:
                              prompt_embeds,
                              negative_prompt_mask if do_cfg else prompt_mask,
                              ref_arg, mask_arg, key)
-            video = dec(latents)
             if output_type == "latent":
                 return latents
+            video = dec(latents)
             out = (np.asarray(video, np.float32) + 1.0) / 2.0
             return np.clip(out, 0.0, 1.0)
 
@@ -256,9 +256,9 @@ class LongCatPipeline:
             model_fn, latents, sched, gcfg, key=key, noise_fn=noise_fn,
             fuse_fn=fuse_fn)
 
-        video = dec(latents)
         if output_type == "latent":
             return latents
+        video = dec(latents)
         out = (np.asarray(video, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)
 
@@ -303,9 +303,9 @@ class LongCatPipeline:
                          negative_prompt_embeds, negative_prompt_mask, 0)
                 v = cfg_zero_combine(v, vu, guidance_scale)
             latents = fm_euler_step(sched, i, latents, -v)
-        video = self._vae_decode_fn()(latents)
         if output_type == "latent":
             return latents
+        video = self._vae_decode_fn()(latents)
         out = (np.asarray(video, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)
 
@@ -373,9 +373,9 @@ class LongCatPipeline:
             latents = fm_euler_step(sched, i, latents, -v)
 
         full = jnp.concatenate([cond_lat, latents], axis=2)
-        video_out = self._vae_decode_fn()(full)
         if output_type == "latent":
             return full
+        video_out = self._vae_decode_fn()(full)
         out = (np.asarray(video_out, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)
 
@@ -450,9 +450,9 @@ class LongCatPipeline:
             v = -v
             latents = fm_euler_step(sched, i, latents, v)
 
-        video = dec(latents)
         if output_type == "latent":
             return latents
+        video = dec(latents)
         out = (np.asarray(video, np.float32) + 1.0) / 2.0
         out = np.clip(out, 0.0, 1.0)
         return out[:, :, :new_t]  # drop granularity padding

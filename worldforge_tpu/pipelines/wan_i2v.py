@@ -290,8 +290,8 @@ class WanI2VPipeline:
                 noise_fn=noise_fn, fuse_fn=fuse_fn, callback=callback,
                 record_r0=do_cfg)
 
-        video = dec(latents)
         if output_type == "latent":
             return latents
+        video = dec(latents)
         out = (np.asarray(video, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)

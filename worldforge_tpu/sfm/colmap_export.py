@@ -127,10 +127,11 @@ def build_reconstruction(
     n, p, _ = tracks.shape
     reproj_mask = None
     if max_reproj_error is not None:
-        p2d, pcam = project_3d_points(points3d, extrinsics, intrinsics)
-        p2d = np.asarray(p2d).copy()
-        p2d[np.asarray(pcam)[:, -1] <= 0] = 1e6
-        diff = np.linalg.norm(p2d - tracks, axis=-1)
+        p2d, _ = project_3d_points(points3d, extrinsics, intrinsics)
+        # the reference computes the diff BEFORE its behind-camera 1e6
+        # write (np_to_pycolmap.py:57-60), making that write a no-op —
+        # behind-camera points can still be reproj inliers; match it
+        diff = np.linalg.norm(np.asarray(p2d) - tracks, axis=-1)
         reproj_mask = diff < max_reproj_error
     if masks is not None and reproj_mask is not None:
         masks = np.logical_and(masks, reproj_mask)
@@ -162,7 +163,9 @@ def build_reconstruction(
         cam_id = cameras[-1]["id"]
         points2d = []
         for pid, vidx in enumerate(valid_idx, start=1):
-            if not (np.abs(points[pid]["xyz"]) < max_points3d_val).all():
+            # one-sided bound as in the reference (:120) — only large
+            # POSITIVE coordinates are rejected
+            if not (points[pid]["xyz"] < max_points3d_val).all():
                 continue
             if masks[fidx][vidx]:
                 xy = tracks[fidx][vidx]

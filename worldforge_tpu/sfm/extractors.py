@@ -2,7 +2,8 @@
 initialize_feature_extractors / extract_keypoints
 (/root/reference/vggt/vggt/dependency/vggsfm_utils.py:189-253):
 "+"-separated method strings ("aliked", "sp", "sift", "aliked+sp+sift"),
-each extractor contributing keypoints that are concatenated and rounded.
+each extractor contributing keypoints that are concatenated (sub-pixel by
+default; rounding is opt-in, see combined_extract_fn).
 
 - aliked: sfm/aliked.py (the reference DEFAULT), jitted
 - sp:     sfm/superpoint.py, jitted
@@ -47,7 +48,10 @@ def make_superpoint_extractor(params, cfg) -> Callable:
     fwd = jax.jit(functools.partial(superpoint_forward, params, cfg))
 
     def extract(image_hw3: np.ndarray) -> np.ndarray:
-        gray = np.asarray(image_hw3, np.float32).mean(axis=-1)
+        # NTSC-weighted grayscale, matching the lightglue/HF SuperPoint
+        # frontends (transformers image_processing_superpoint.py:86-89)
+        img = np.asarray(image_hw3, np.float32)
+        gray = img @ np.asarray([0.2989, 0.587, 0.114], np.float32)
         out = fwd(jnp.asarray(gray)[None, :, :, None])
         kpts = np.asarray(out["keypoints"][0])
         return kpts[np.asarray(out["scores"][0]) > 0]
@@ -121,9 +125,12 @@ def make_extractors(method: str = "aliked", max_query_num: int = 4096,
 
 
 def combined_extract_fn(extractors: Dict[str, Callable],
-                        round_keypoints: bool = True) -> Callable:
+                        round_keypoints: bool = False) -> Callable:
     """extract_keypoints analog (vggsfm_utils.py:227-253): concatenate
-    every extractor's keypoints, optionally rounding."""
+    every extractor's keypoints, optionally rounding. Default False: the
+    tracking path extracts with round_keypoints=False so sub-pixel
+    locations seed the tracker (track_predict.py:172); pass True only to
+    mirror the reference function's standalone default."""
 
     def extract(image_hw3: np.ndarray) -> np.ndarray:
         parts = []

@@ -119,6 +119,13 @@ def superpoint_forward(params, cfg: SuperPointConfig, image: jnp.ndarray
     heat = heat.reshape(b, gh * 8, gw * 8)                # [B, H, W]
 
     heat = simple_nms(heat, cfg.nms_radius)
+    # border removal: canonical SuperPoint drops keypoints within 4 px of
+    # the image edge after NMS (lightglue / HF modeling_superpoint.py
+    # border_removal_distance=4)
+    bd = 4
+    border = jnp.zeros((gh * 8, gw * 8), bool)
+    border = border.at[bd:gh * 8 - bd, bd:gw * 8 - bd].set(True)
+    heat = jnp.where(border[None], heat, 0.0)
     # static top-k with threshold masking
     flat = heat.reshape(b, -1)
     flat = jnp.where(flat > cfg.detection_threshold, flat, -1.0)

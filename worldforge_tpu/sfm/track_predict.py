@@ -2,15 +2,18 @@
 
 Behavioral reference: vggt/vggt/dependency/track_predict.py:12-310:
   - predict_tracks (:12-133): rank query frames (DINO similarity + FPS,
-    frame 0 forced first), per-query keypoint extraction + tracking with
-    the query frame swapped to position 0, optional confidence/3D lookup,
+    frame 0 forced first), coarse fmaps computed ONCE for the whole
+    sequence (:77), per-query keypoint extraction + tracking with the
+    query frame swapped to position 0, optional confidence/3D lookup,
     chunked query batches, non-visible-frame augmentation
   - _forward_on_query (:135-230): keypoints -> colors -> conf/points3d
     gating (conf > 1.2, keep when > 512 survive) -> reorder -> track ->
     reorder back
   - _augment_non_visible_frames (:232-310): while any frame has fewer
     than min_vis tracks visible above non_vis_thresh, re-query the first
-    such frame (all of them on the second failure)
+    such frame; on the second failure of the same frame, one final
+    "all-in" trial over every failing frame with a FRESH sp+sift+aliked
+    2048-keypoint extractor set (:293-299)
 
 Keypoints come from a pluggable `extract_fn(image_hw3) -> [K, 2]` (e.g. a
 jitted sfm/superpoint.py detector) and the tracker is the pytree from
@@ -24,13 +27,14 @@ from typing import Callable, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from worldforge_tpu.sfm.tracker import sfm_tracker_forward
+from worldforge_tpu.sfm.tracker import (compute_tracker_fmaps,
+                                        sfm_tracker_forward)
 from worldforge_tpu.sfm.utils import (calculate_index_mappings,
                                       rank_frames_by_similarity,
                                       switch_tensor_order)
 
 
-def _forward_on_query(query_index: int, images: np.ndarray,
+def _forward_on_query(query_index: int, images: np.ndarray, fmaps,
                       tracker_params, extract_fn, conf, points_3d,
                       max_points_num: int, fine_tracking: bool,
                       coarse_iters: int):
@@ -58,6 +62,7 @@ def _forward_on_query(query_index: int, images: np.ndarray,
 
     order = calculate_index_mappings(query_index, s)
     (imgs_feed,) = switch_tensor_order([images], order, dim=0)
+    (fmaps_feed,) = switch_tensor_order([fmaps], order, dim=1)
 
     n = kpts.shape[0]
     chunks = max(1, -(-s * n // max_points_num))
@@ -66,7 +71,8 @@ def _forward_on_query(query_index: int, images: np.ndarray,
         fine, _, v = sfm_tracker_forward(
             tracker_params, jnp.asarray(imgs_feed)[None],
             jnp.asarray(qc, jnp.float32)[None],
-            coarse_iters=coarse_iters, fine_tracking=fine_tracking)
+            coarse_iters=coarse_iters, fine_tracking=fine_tracking,
+            fmaps=fmaps_feed)
         tracks.append(np.asarray(fine[0]))
         vis.append(np.asarray(v[0]))
     track = np.concatenate(tracks, axis=1)
@@ -89,10 +95,18 @@ def predict_tracks(
     min_vis: int = 500,
     non_vis_thresh: float = 0.1,
     coarse_iters: int = 6,
+    final_trial_extract_fn: Optional[Callable] = None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray],
            Optional[np.ndarray], np.ndarray]:
     """Returns (tracks [S, P, 2], vis [S, P], confs, points3d, colors)
-    (track_predict.py:12-133)."""
+    (track_predict.py:12-133).
+
+    final_trial_extract_fn: fresh extractor set for the augmentation
+    loop's last "all-in" attempt — the reference builds a 2048-keypoint
+    sp+sift+aliked set there (:293-299) so the retry sees NEW keypoints;
+    wire e.g. extractors.combined_extract_fn over all three. Falls back
+    to extract_fn (a deterministic re-run, which cannot add tracks) with
+    a warning when omitted."""
     s = images.shape[0]
     if rank_features is not None:
         query_frames = rank_frames_by_similarity(
@@ -103,11 +117,16 @@ def predict_tracks(
         query_frames.remove(0)
     query_frames = [0, *query_frames][:query_frame_num]
 
+    # coarse fmaps once for the whole sequence (reference :77); queries
+    # only reorder them
+    fmaps = compute_tracker_fmaps(tracker_params,
+                                  jnp.asarray(images)[None])
+
     tracks, viss, confs, p3ds, colors = [], [], [], [], []
 
-    def run(qi):
+    def run(qi, efn):
         t, v, c, p, col = _forward_on_query(
-            qi, images, tracker_params, extract_fn, conf, points_3d,
+            qi, images, fmaps, tracker_params, efn, conf, points_3d,
             max_points_num, fine_tracking, coarse_iters)
         tracks.append(t)
         viss.append(v)
@@ -117,7 +136,7 @@ def predict_tracks(
         colors.append(col)
 
     for qi in query_frames:
-        run(qi)
+        run(qi, extract_fn)
 
     if complete_non_vis:
         # :232-310 — requery frames with too few visible tracks
@@ -128,14 +147,21 @@ def predict_tracks(
             non_vis = np.where(enough < min_vis)[0].tolist()
             if not non_vis or final_trial:
                 break
+            cur_fn = extract_fn
             if non_vis[0] == last_query:
                 final_trial = True           # last try: hit them all
                 todo = non_vis
+                if final_trial_extract_fn is not None:
+                    cur_fn = final_trial_extract_fn   # fresh detectors
+                else:
+                    print("predict_tracks: no final_trial_extract_fn — "
+                          "the all-in retry reuses the same extractor "
+                          "(deterministic, adds no new tracks)")
             else:
                 todo = [non_vis[0]]
             last_query = non_vis[0]
             for qi in todo:
-                run(qi)
+                run(qi, cur_fn)
 
     return (np.concatenate(tracks, axis=1),
             np.concatenate(viss, axis=1),

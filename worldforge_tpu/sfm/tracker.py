@@ -444,12 +444,12 @@ def init_sfm_tracker(key, dtype=jnp.float32) -> dict:
                 k4, SfmTrackerConfig.fine_cfg(), dtype)}
 
 
-def sfm_tracker_forward(params, images: jnp.ndarray,
-                        query_points: jnp.ndarray, coarse_iters: int = 6,
-                        fine_tracking: bool = True,
-                        coarse_down_ratio: int = 2):
-    """images [B,S,H,W,3] in [0,1]; query_points [B,N,2]. Returns
-    (fine_track, coarse_track, vis) (vggsfm_tracker.py:58-105)."""
+def compute_tracker_fmaps(params, images: jnp.ndarray,
+                          coarse_down_ratio: int = 2) -> jnp.ndarray:
+    """Coarse-encoder feature maps for the whole sequence, computed once
+    and reusable across query frames/chunks (the reference hoists this as
+    tracker.process_images_to_fmaps, track_predict.py:77).
+    images [B,S,H,W,3] -> fmaps [B,S,HH,WW,C]."""
     b, s, hh, ww, _ = images.shape
     coarse_cfg = SfmTrackerConfig.coarse()
     imgs = images.reshape(b * s, hh, ww, 3)
@@ -458,7 +458,22 @@ def sfm_tracker_forward(params, images: jnp.ndarray,
                                     ww // coarse_down_ratio)
     fmaps = basic_encoder_forward(params["coarse_fnet"], imgs,
                                   stride=coarse_cfg.stride)
-    fmaps = fmaps.reshape(b, s, *fmaps.shape[1:])
+    return fmaps.reshape(b, s, *fmaps.shape[1:])
+
+
+def sfm_tracker_forward(params, images: jnp.ndarray,
+                        query_points: jnp.ndarray, coarse_iters: int = 6,
+                        fine_tracking: bool = True,
+                        coarse_down_ratio: int = 2,
+                        fmaps: jnp.ndarray = None):
+    """images [B,S,H,W,3] in [0,1]; query_points [B,N,2]. Returns
+    (fine_track, coarse_track, vis) (vggsfm_tracker.py:58-105).
+    fmaps: precomputed compute_tracker_fmaps output (skips the coarse
+    encoder — images are then only used by the fine refinement)."""
+    coarse_cfg = SfmTrackerConfig.coarse()
+    if fmaps is None:
+        fmaps = compute_tracker_fmaps(params, images,
+                                      coarse_down_ratio=coarse_down_ratio)
     preds, vis = sfm_predictor_forward(params["coarse_predictor"],
                                        coarse_cfg, query_points, fmaps,
                                        iters=coarse_iters,

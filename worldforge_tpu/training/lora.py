@@ -52,9 +52,14 @@ def init_lora(key, params, *, rank: int = 16, targets=LORA_TARGETS,
                 else:
                     dshape = (shape[0], shape[1], rank)
                     ushape = (shape[0], rank, shape[2])
+                # down ~ N(0, 1/fan_in) (kaiming-style, the PEFT/kohya
+                # convention): keeps x @ down at unit scale so the first
+                # adamw steps on `up` see well-scaled gradients; 1/rank
+                # would make the rank-16 activations ~sqrt(in/rank) big
+                fan_in = shape[-2]
                 adapters[path] = {
                     "down": (jax.random.normal(k, dshape, dtype)
-                             / jnp.sqrt(jnp.float32(rank)).astype(dtype)),
+                             / jnp.sqrt(jnp.float32(fan_in)).astype(dtype)),
                     "up": jnp.zeros(ushape, dtype),
                 }
                 return
