@@ -235,3 +235,27 @@ def test_bsa_backward_through_pallas_interpret(rng):
     g2 = jax.grad(make_loss("pallas_interpret"))(q, k, v)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_bsa_zero_count_rows_output_zeros(rng):
+    """Regression: a q chunk with count==0 (reachable via the CDF path)
+    must output ZEROS in kernel, masked oracle, and gathered/backward
+    forms alike — not the uniform attention an all-masked softmax
+    degenerates to."""
+    from worldforge_tpu.ops.bsa import _bsa_gathered
+
+    bh, nq, nk, d = 1, 2, 4, 32
+    q = jnp.asarray(rng.standard_normal((bh, nq * 128, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, nk * 128, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, nk * 128, d)), jnp.float32)
+    idx = jnp.asarray([[[0, 0], [1, 3]]], jnp.int32)
+    cnt = jnp.asarray([[0, 2]], jnp.int32)       # row 0: nothing selected
+    out_k = np.asarray(_bsa_bhsd(q, k, v, idx.reshape(1, -1), cnt,
+                                 scale=d ** -0.5, kmax=2, interpret=True))
+    out_r = np.asarray(_bsa_reference(q, k, v, idx, cnt, d ** -0.5))
+    out_g = np.asarray(_bsa_gathered(q, k, v, idx, cnt, d ** -0.5))
+    assert np.all(out_k[0, :128] == 0.0)
+    assert np.all(out_r[0, :128] == 0.0)
+    assert np.all(out_g[0, :128] == 0.0)
+    np.testing.assert_allclose(out_k, out_r, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(out_g, out_r, atol=2e-3, rtol=2e-3)

@@ -85,3 +85,26 @@ def test_sharded_dit_matches_single_device(rng):
 def test_full_dryrun_entrypoint():
     from worldforge_tpu.parallel.dryrun import run_dryrun
     run_dryrun(8)
+
+
+def test_ulysses_kv_lens_matches_unsharded(rng):
+    """Regression: kv_lens must survive onto the sharded (sp>1) path —
+    padded keys get zero weight exactly as on one chip."""
+    mesh = make_mesh(dp=2, fsdp=1, sp=4)
+    b, s, h, d = 2, 64, 8, 32
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    lens = jnp.asarray([40, 64], jnp.int32)
+    ref = sdpa_reference(q, k, v, kv_lens=lens)
+    with mesh:
+        shd = NamedSharding(mesh, P("dp", "sp", None, None))
+        qs, ks, vs = (jax.device_put(x, shd) for x in (q, k, v))
+        ls = jax.device_put(lens, NamedSharding(mesh, P("dp")))
+        out = jax.jit(lambda a, b_, c, le: ulysses_attention(
+            a, b_, c, mesh=mesh, kv_lens=le))(qs, ks, vs, ls)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # and it must DIFFER from the unmasked result (the bug returned this)
+    unmasked = sdpa_reference(q, k, v)
+    assert float(jnp.abs(out - unmasked).max()) > 1e-3

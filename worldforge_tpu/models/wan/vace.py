@@ -6,10 +6,10 @@ on every 2nd layer by default, with a zero-init before_proj on block 0 and
 zero-init after_proj on all) processes the patched vace_context; each main
 block whose index is in vace_layers adds its hint (scaled) after the block.
 
-The generation facade (WanVace, wan/vace.py:37-797) and the video/mask
-preprocessor (vace_processor.py) are round-2 items; the model here accepts a
-prepared vace_context (the reference builds it from VAE-encoded source
-video, masks and reference images).
+The generation facade (WanVace, wan/vace.py:37-797) lives in
+pipelines/wan_vace.py and the video/mask preprocessor (vace_processor.py)
+in io/vace_processor.py; the model here accepts a prepared vace_context
+(built from VAE-encoded source video, masks and reference images).
 """
 
 from __future__ import annotations

@@ -236,10 +236,7 @@ def _bsa_reference(q, k, v, indices, counts, scale):
     sk = k.shape[1]
     nq, nk = sq // CHUNK_Q, sk // CHUNK_K
     kmax = indices.shape[-1]
-    sel = jnp.zeros((bh, nq, nk), bool)
-    ar = jnp.arange(kmax)[None, None, :]
-    valid = ar < counts[..., None]
-    sel = jnp.zeros((bh, nq, nk), jnp.int32)
+    valid = jnp.arange(kmax)[None, None, :] < counts[..., None]
     onehot = jax.nn.one_hot(indices, nk, dtype=jnp.int32) * valid[..., None]
     sel = onehot.sum(axis=2) > 0  # [BH, nq, nk]
     mask = jnp.repeat(jnp.repeat(sel, CHUNK_Q, axis=1), CHUNK_K, axis=2)
@@ -247,6 +244,10 @@ def _bsa_reference(q, k, v, indices, counts, scale):
                    k.astype(jnp.float32)) * scale
     s = jnp.where(mask, s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
+    # a q row with zero selected chunks (reachable via the CDF path when
+    # counts==0) must output ZEROS like the kernel, not the uniform
+    # attention an all--inf softmax degenerates to
+    p = p * mask.any(axis=-1, keepdims=True)
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
@@ -269,6 +270,9 @@ def _bsa_gathered(q, k, v, indices, counts, scale):
             )[:, :, None, :, None]
     s = jnp.where(live, s, _NEG_INF)
     p = jax.nn.softmax(s.reshape(*s.shape[:3], -1), axis=-1).reshape(s.shape)
+    # zero (not uniform) output for q chunks with counts == 0, matching
+    # the kernel and _bsa_reference
+    p = p * (counts > 0)[:, :, None, None, None]
     o = jnp.einsum("bnqmk,bnmkd->bnqd", p, vg)
     return o.reshape(bh, sq, d).astype(q.dtype)
 
@@ -288,21 +292,38 @@ def bsa_sparse(q, k, v, meta):
     return out
 
 
+def _bsa_bhsd_grouped(q, k, v, idx_flat, counts, *, scale, kmax,
+                      interpret, return_lse=False):
+    """_bsa_bhsd with the batch*heads axis chunked so the scalar-prefetch
+    tables (indices + counts) stay under ~150k int32s of SMEM — required
+    at e.g. 40 heads x 720p-refine q-chunk counts. Shared by the
+    single-chip dispatch and the ring-CP path (parallel/bsa_cp.py)."""
+    bh_total, flat = idx_flat.shape
+    per_bh_ints = flat + counts.shape[1]
+    group = max(1, min(bh_total, 150_000 // max(per_bh_ints, 1) or 1))
+    while bh_total % group != 0:
+        group -= 1
+    if group == bh_total:
+        return _bsa_bhsd(q, k, v, idx_flat, counts, scale=scale, kmax=kmax,
+                         interpret=interpret, return_lse=return_lse)
+    outs = []
+    for s0 in range(0, bh_total, group):
+        sl = slice(s0, s0 + group)
+        outs.append(_bsa_bhsd(q[sl], k[sl], v[sl], idx_flat[sl],
+                              counts[sl], scale=scale, kmax=kmax,
+                              interpret=interpret, return_lse=return_lse))
+    if return_lse:
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(3))
+    return jnp.concatenate(outs, axis=0)
+
+
 def _bsa_dispatch(q, k, v, indices, counts, scale, impl, interpret):
     if impl == "pallas":
         bh_total, nq_, kmax = indices.shape
         idx_flat = indices.reshape(bh_total, nq_ * kmax)
-        per_bh_ints = nq_ * kmax + nq_
-        group = max(1, min(bh_total, 150_000 // max(per_bh_ints, 1) or 1))
-        while bh_total % group != 0:
-            group -= 1
-        outs = []
-        for s0 in range(0, bh_total, group):
-            sl = slice(s0, s0 + group)
-            outs.append(_bsa_bhsd(q[sl], k[sl], v[sl], idx_flat[sl],
-                                  counts[sl], scale=scale, kmax=kmax,
-                                  interpret=interpret))
-        return jnp.concatenate(outs, axis=0)
+        return _bsa_bhsd_grouped(q, k, v, idx_flat, counts, scale=scale,
+                                 kmax=kmax, interpret=interpret)
     return _bsa_reference(q, k, v, indices, counts, scale)
 
 

@@ -77,8 +77,11 @@ def _warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     def gather(yi, xi):
         idx = (yi.astype(jnp.int32) * w + xi.astype(jnp.int32))
         flat = img.reshape(n, h * w)
-        return jnp.take_along_axis(flat, idx.reshape(n, h * w),
-                                   axis=1).reshape(n, h, w)
+        # vmap row gather: take_along_axis with same-jit computed indices
+        # hits a 10-100x slower XLA gather lowering on TPU (same fix as
+        # farneback.py::_update_matrices)
+        return jax.vmap(lambda f, ix: f[ix])(
+            flat, idx.reshape(n, h * w)).reshape(n, h, w)
 
     i00 = gather(y0, x0); i01 = gather(y0, x1)
     i10 = gather(y1, x0); i11 = gather(y1, x1)

@@ -38,9 +38,12 @@ def quantize_weight(w: jnp.ndarray):
 
 
 def quantize_dense(p: dict) -> dict:
-    """{"w": [in,out], "b"?} -> {"w8", "scale", "b"?}."""
+    """{"w": [in,out], "b"?, ...} -> {"w8", "scale", "b"?, ...}: extra
+    keys (e.g. attached LoRA terms) pass through untouched so quantizing
+    never silently drops leaf state."""
     w8, s = quantize_weight(p["w"])
-    out = {"w8": w8, "scale": s}
+    out = {k: v for k, v in p.items() if k != "w"}
+    out.update(w8=w8, scale=s)
     if "b" in p:
         out["b"] = p["b"].astype(jnp.float32)
     return out
@@ -110,9 +113,11 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = 128):
 
 
 def quantize_dense_int4(p: dict, group: int = 128) -> dict:
-    """{"w": [in,out], "b"?} -> {"w4", "scale4", "b"?}."""
+    """{"w": [in,out], "b"?, ...} -> {"w4", "scale4", "b"?, ...}; extra
+    keys pass through (see quantize_dense)."""
     w4, s = quantize_weight_int4(p["w"], group=group)
-    out = {"w4": w4, "scale4": s}
+    out = {k: v for k, v in p.items() if k != "w"}
+    out.update(w4=w4, scale4=s)
     if "b" in p:
         out["b"] = p["b"].astype(jnp.float32)
     return out

@@ -28,7 +28,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from worldforge_tpu.core.mesh import AXIS_SP
-from worldforge_tpu.ops.bsa import (CHUNK_K, CHUNK_Q, _bsa_bhsd,
+from worldforge_tpu.ops.bsa import (CHUNK_K, CHUNK_Q, _bsa_bhsd_grouped,
                                     mean_pool_chunks,
                                     rearrange_blocks_to_thw,
                                     rearrange_thw_to_blocks,
@@ -103,7 +103,7 @@ def bsa_attention_3d_cp(q, k, v, latent_shape_q, latent_shape_k, *,
             mem_r = jnp.take_along_axis(member, order, axis=-1)
             idx_r = jnp.where(mem_r, idx_r, 0).astype(jnp.int32)
             cnt_r = member.sum(axis=-1).astype(jnp.int32)
-            o_r, m_r, l_r = _bsa_bhsd(
+            o_r, m_r, l_r = _bsa_bhsd_grouped(
                 ql, kr, vr, idx_r.reshape(bh, nq_l * kmax), cnt_r,
                 scale=scale, kmax=kmax, interpret=interpret,
                 return_lse=True)

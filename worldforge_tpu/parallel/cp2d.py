@@ -72,7 +72,9 @@ def ulysses_attention_2d(q, k, v, *, mesh: Mesh, impl: str = "auto"):
         b, t, hh, ww, nh, d = q.shape
         fl = lambda x: x.reshape(b, t * hh * ww, nh, d)
         return attention(fl(q), fl(k), fl(v), impl=impl).reshape(q.shape)
-    assert q.shape[4] % (sph * spw) == 0, "heads must divide sp_h*sp_w"
+    assert q.shape[4] % (sph * spw) == 0, (
+        f"head count {q.shape[4]} must be divisible by "
+        f"sp_h*sp_w={sph * spw}")
 
     spec = P(AXIS_DP, None, AXIS_SP_H, AXIS_SP_W, None, None)
 

@@ -41,21 +41,34 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     spec = P(dp_axis, sp_axis, None, None)
 
-    def inner(ql, kl, vl):
-        # [B_l, S/sp, H, D] -> [B_l, S, H/sp, D] (scatter heads, gather seq)
-        def a2a_in(x):
-            return jax.lax.all_to_all(x, sp_axis, split_axis=2,
-                                      concat_axis=1, tiled=True)
+    def make_inner(lens_spec):
+        def inner(ql, kl, vl, lens):
+            # [B_l, S/sp, H, D] -> [B_l, S, H/sp, D] (scatter heads,
+            # gather seq)
+            def a2a_in(x):
+                return jax.lax.all_to_all(x, sp_axis, split_axis=2,
+                                          concat_axis=1, tiled=True)
 
-        def a2a_out(x):
-            return jax.lax.all_to_all(x, sp_axis, split_axis=1,
-                                      concat_axis=2, tiled=True)
+            def a2a_out(x):
+                return jax.lax.all_to_all(x, sp_axis, split_axis=1,
+                                          concat_axis=2, tiled=True)
 
-        o = attention(a2a_in(ql), a2a_in(kl), a2a_in(vl), impl=impl)
-        return a2a_out(o)
+            # after a2a the kv sequence is fully gathered per shard, so
+            # the global kv_lens padding mask applies unchanged
+            o = attention(a2a_in(ql), a2a_in(kl), a2a_in(vl),
+                          kv_lens=lens, impl=impl)
+            return a2a_out(o)
+        return inner
 
-    return shard_map(inner, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_vma=False)(q, k, v)
+    if kv_lens is None:
+        def inner0(ql, kl, vl):
+            return make_inner(None)(ql, kl, vl, None)
+        return shard_map(inner0, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)(q, k, v)
+    lens_spec = P(dp_axis)
+    return shard_map(make_inner(lens_spec), mesh=mesh,
+                     in_specs=(spec, spec, spec, lens_spec),
+                     out_specs=spec, check_vma=False)(q, k, v, kv_lens)
 
 
 def sequence_local_cross_attention(q: jnp.ndarray, k: jnp.ndarray,

@@ -84,8 +84,11 @@ def flf_select(pred_x0: jnp.ndarray, encoded_ref: jnp.ndarray,
     """Pick the low-correlation channels per the backend schedule."""
     if not cfg.use_flf:
         return []
-    if cfg.flf_backend == "wan" and current_step < 2:
-        return []  # avoid computing flows before they can be used
+    if current_step < 2:
+        # both schedules return [] before step 2 (scheduling_unipc:412-418;
+        # longcat scheduler :326-332) — skip the full per-channel flow
+        # computation they would discard
+        return []
     scores = channel_similarities(pred_x0, encoded_ref,
                                   use_optical_flow=cfg.use_optical_flow,
                                   variant=cfg.flf_backend)
