@@ -57,3 +57,33 @@ def test_upscale_cli_parser():
     from worldforge_tpu.cli.run_upscale import build_parser
     args = build_parser().parse_args(["--input", "/tmp/x", "--random-init"])
     assert args.t_thresh == 0.6 and not args.spatial_refine_only
+
+
+def test_read_frames_mask_normalization(tmp_path):
+    """Reference semantics (infer_worldforge.py:91-99): no masks -> ZERO
+    masks (guided fusion trusts nothing); fewer masks than frames -> the
+    last mask repeats; extra masks truncate."""
+    from PIL import Image
+    import numpy as np
+    from worldforge_tpu.io.frames import read_frames_from_directory
+
+    d = tmp_path / "no_masks"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray(np.full((8, 10, 3), 100 + i, np.uint8)).save(
+            d / f"frame_{i}.png")
+    frames, masks, first = read_frames_from_directory(str(d))
+    assert len(frames) == len(masks) == 3
+    assert all(m.shape == (8, 10) and m.sum() == 0 for m in masks)
+    assert first is not None
+
+    d2 = tmp_path / "short_masks"
+    d2.mkdir()
+    for i in range(3):
+        Image.fromarray(np.full((8, 10, 3), 50, np.uint8)).save(
+            d2 / f"frame_{i}.png")
+    Image.fromarray(np.full((8, 10), 255, np.uint8)).save(
+        d2 / "mask_0.png")
+    frames, masks, _ = read_frames_from_directory(str(d2))
+    assert len(masks) == 3
+    assert all((m == 1).all() for m in masks)   # repeated last mask

@@ -258,3 +258,42 @@ def test_dc_unproject_matches_reference_formula():
     ours = np.asarray(dc_unproject(
         np.asarray(1.0 / (depth + 0.1)), f=525.0))
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_remove_outliers_small_data_matches_reference(rng):
+    """The reference routes valid_count <= 5000 to scipy convolve with a
+    constant-0 border (utils_warp.py:486-489): border pixels see fewer
+    neighbors than under cv2's reflection, so edge outliers are dropped.
+    Bit-parity on a sparse frame with border-hugging valid pixels."""
+    from worldforge_tpu.warp.cracks import remove_outliers
+
+    uw = import_utils_warp()
+    h, w = 40, 50
+    m = (rng.uniform(size=(h, w)) < 0.05).astype(np.uint8)  # ~100 valid
+    m[0, :] |= (rng.uniform(size=w) < 0.3).astype(np.uint8)  # border row
+    img = rng.uniform(size=(h, w, 3)).astype(np.float32) * m[..., None]
+    dep = np.where(m > 0, rng.uniform(0.5, 2.0, (h, w)).astype(np.float32),
+                   np.nan)
+    ri, rm, rd = uw.remove_outliers(img, m, dep, min_neighbors=4,
+                                    neighbor_radius=1)
+    oi, om, od = remove_outliers(img, m, dep, 4, 1)
+    np.testing.assert_array_equal(om, rm)
+    np.testing.assert_array_equal(oi, ri)
+    np.testing.assert_array_equal(np.isnan(od), np.isnan(rd))
+
+
+def test_merge_depth_segments_all_invalid_matches_reference(rng):
+    """When segments exist but none has valid pixels the reference
+    returns the ZERO image/mask (merge loop never runs) — not None — so
+    depth_aware_crack_filling must NOT fall back to fill_small_cracks."""
+    from worldforge_tpu.warp.cracks import merge_depth_segments
+
+    uw = import_utils_warp()
+    shape = (8, 10, 3)
+    empty = [(None, None, None), (None, None, None)]
+    ref = uw.merge_depth_segments([None, None], empty, shape)
+    ours = merge_depth_segments(empty, shape)
+    assert ref[0] is not None and ours[0] is not None
+    np.testing.assert_array_equal(ours[0], ref[0])
+    np.testing.assert_array_equal(ours[1], ref[1])
+    assert ours[0].sum() == 0 and ours[1].sum() == 0

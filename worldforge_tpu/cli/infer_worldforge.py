@@ -78,8 +78,18 @@ def main(argv=None) -> None:
         raise SystemExit(f"no frames found in {args.video_ref}")
     video = np.stack(frames[:args.num_frames]).astype(np.float32) / 255.0
     if args.resize is not None:
-        from PIL import Image
         h, w = args.resize
+    else:
+        # reference sizing (infer_worldforge.py:217-222): target dims from
+        # max_area (480*832 or 720*1280) at the input aspect ratio,
+        # floored to mod_value = vae_stride(8) * patch(2) = 16
+        max_area = 720 * 1280 if args.model == "720p" else 480 * 832
+        ih, iw = video.shape[1:3]
+        aspect = ih / iw
+        h = int(round(np.sqrt(max_area * aspect))) // 16 * 16
+        w = int(round(np.sqrt(max_area / aspect))) // 16 * 16
+    if (h, w) != video.shape[1:3]:
+        from PIL import Image
         video = np.stack([np.asarray(Image.fromarray(
             (f * 255).astype(np.uint8)).resize((w, h), Image.LANCZOS))
             for f in video]).astype(np.float32) / 255.0
@@ -89,7 +99,10 @@ def main(argv=None) -> None:
     if masks:
         mask = np.stack(masks[:args.num_frames]).astype(np.float32)
     else:
-        mask = np.ones((T, video.shape[1], video.shape[2]), np.float32)
+        # reference polarity: no masks -> zeros (fusion trusts nothing,
+        # infer_worldforge.py:91-93); read_frames_from_directory already
+        # normalizes this, so the branch is defensive only
+        mask = np.zeros((T, video.shape[1], video.shape[2]), np.float32)
     if args.soften_mask:
         mask = soften_mask(mask, args.transition_distance, args.decay_type)
     if mask.shape[1:] != (H, W):

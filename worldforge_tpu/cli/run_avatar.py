@@ -90,7 +90,7 @@ def main(argv=None) -> None:
         args.checkpoint_dir, random_init=args.random_init,
         use_distill=args.use_distill)
 
-    img = load_image(args.image)                 # [H, W, 3] in [0, 1]
+    img = load_image(args.image).astype(np.float32) / 255.0  # [H,W,3] [0,1]
     if args.resize is not None:
         import cv2
         img = cv2.resize(img, (args.resize[1], args.resize[0]),

@@ -85,7 +85,10 @@ def main(argv=None) -> None:
     if masks:
         mask = np.stack(masks[:args.num_frames]).astype(np.float32)
     else:
-        mask = np.ones((T, H, W), np.float32)
+        # reference polarity: no masks -> zeros (fusion trusts nothing,
+        # infer_worldforge.py:91-93); read_frames_from_directory already
+        # normalizes this, so the branch is defensive only
+        mask = np.zeros((T, H, W), np.float32)
     if args.soften_mask:
         mask = soften_mask(mask, args.transition_distance, args.decay_type)
     if mask.shape[1:] != (H, W):

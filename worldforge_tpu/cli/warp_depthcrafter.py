@@ -22,16 +22,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_path", type=str, default=None,
                    help="input video file or directory of frames")
     p.add_argument("--output_path", type=str, default="output_warp_dc")
-    p.add_argument("--direction", type=str, default="up",
+    p.add_argument("--direction", type=str, default="left",
                    choices=["up", "down", "left", "right"])
-    p.add_argument("--degree", type=float, default=30.0)
-    p.add_argument("--look_at_depth", type=float, default=0.9)
+    p.add_argument("--degree", type=float, default=15.0)
+    p.add_argument("--look_at_depth", type=float, default=1.0)
     p.add_argument("--stable", action="store_true",
                    help="finish motion in the first N frames, then hold")
     p.add_argument("--stable_frame", type=int, default=17)
     p.add_argument("--zoom", type=str, default="none",
                    choices=["none", "zoom_in", "zoom_out"])
-    p.add_argument("--rate", type=float, default=1.0)
+    p.add_argument("--rate", type=float, default=0.8)
     p.add_argument("--circle_radius", type=float, default=None)
     p.add_argument("--enable_edge_filter", action="store_true")
     p.add_argument("--edge_threshold", type=float, default=0.1)
@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_inference_steps", type=int, default=5)
     p.add_argument("--guidance_scale", type=float, default=1.0)
     p.add_argument("--depth_npz", type=str, default=None)
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="converted DepthCrafter weights for stage 1 "
+                        "(mirrors the reference's --unet_path/"
+                        "--pre_train_path pair)")
     return p
 
 
@@ -83,7 +87,8 @@ def main(argv=None) -> None:
         depth = estimate_depth(frames,
                                num_inference_steps=args.num_inference_steps,
                                guidance_scale=args.guidance_scale,
-                               max_res=args.max_res)
+                               max_res=args.max_res,
+                               checkpoint=args.checkpoint_dir)
         np.savez(depth_cache, depth=depth)
         print(f"Depth cached -> {depth_cache}")
 

@@ -245,7 +245,7 @@ def load_converted_depthcrafter(checkpoint_dir: str):
         sd = load_state_dict(enc_dir)
         clip_params = convert_clip_vision(sd, clip_cfg)
         proj = {"proj": {"w": _jnp.asarray(
-            linear_w(sd, "visual_projection"), _jnp.float32)}}
+            linear_w(sd, "visual_projection.weight"), _jnp.float32)}}
 
         def encode_frames(frames):  # [T,3,H,W] in [-1,1]
             arr = _np.asarray((frames + 1.0) / 2.0).transpose(0, 2, 3, 1)

@@ -130,20 +130,24 @@ _TORCH_TO_TREE = {
 
 def merge_lora_stacked(params: dict, lora: Dict[str, dict],
                        scale: float = 1.0) -> dict:
-    """Merge LoRA adapters into the scan-stacked blocks pytree (and any
-    non-block leaves). Inference-equivalent of the reference's runtime
-    forward patching (longcat_video_dit.py:197-270)."""
+    """Merge LoRA adapters into the scan-stacked blocks pytree.
+    Inference-equivalent of the reference's runtime forward patching
+    (longcat_video_dit.py:197-270). Adapters without a matching block
+    leaf (non-block paths, unmapped submodules) are reported, not
+    silently dropped."""
     out = jax.tree_util.tree_map(lambda x: x, params)
     blocks = dict(out["blocks"]) if isinstance(out["blocks"], dict) else \
         out["blocks"]
+    skipped = []
     for name, ad in lora.items():
         if not name.startswith("blocks."):
+            skipped.append(name)
             continue
-        _, idx, *rest = name.split(".", 2)[0:1] + name.split(".")[1:]
         i = int(name.split(".")[1])
         sub = ".".join(name.split(".")[2:])
         key = _TORCH_TO_TREE.get(sub)
         if key is None or key not in blocks:
+            skipped.append(name)
             continue
         down, up = ad["down"], ad["up"]
         alpha_scale = ad.get("alpha", down.shape[1]) / down.shape[1]
@@ -153,6 +157,13 @@ def merge_lora_stacked(params: dict, lora: Dict[str, dict],
         blocks[key] = dict(blocks[key])
         blocks[key]["w"] = w.at[i].set(
             (w[i].astype(jnp.float32) + delta).astype(w.dtype))
+    if skipped:
+        # the reference's LoRANetwork prints "Cannot find module" per miss
+        # (lora_utils.py); a silently partial merge would give wrong
+        # distill outputs with no trace
+        print(f"merge_lora_stacked: {len(skipped)} adapter(s) had no "
+              f"matching block leaf and were NOT merged: {skipped[:8]}"
+              + (" ..." if len(skipped) > 8 else ""))
     out["blocks"] = blocks
     return out
 

@@ -24,7 +24,10 @@ def read_frames_from_directory(directory: str
                                           Optional[np.ndarray]]:
     """Returns (frames [H,W,3] uint8, masks [H,W] uint8 {0,1}, first_frame).
     Files starting with ``mask_`` are masks; everything else is a frame;
-    both sorted by filename."""
+    both sorted by filename. Mask-count normalization mirrors the
+    reference (infer_worldforge.py:91-99): no masks -> all-ZERO masks
+    (guided fusion trusts nothing), fewer masks than frames -> repeat the
+    last, more -> truncate."""
     names = sorted(os.listdir(directory))
     frames, masks = [], []
     for n in names:
@@ -41,6 +44,11 @@ def read_frames_from_directory(directory: str
                 img = np.stack([img] * 3, axis=-1)
             frames.append(img[..., :3])
     first = frames[0] if frames else None
+    if frames:
+        zero = lambda: np.zeros(frames[0].shape[:2], np.uint8)
+        while len(masks) < len(frames):
+            masks.append(masks[-1].copy() if masks else zero())
+        masks = masks[:len(frames)]
     return frames, masks, first
 
 

@@ -223,10 +223,10 @@ class TransformersPromptExpander(LocalPromptExpander):
                 self.model_path, local_files_only=True)
 
     def _generate(self, system_prompt: str, prompt: str, seed: int) -> str:
-        import torch  # noqa: PLC0415
+        from worldforge_tpu.utils.torch_rng import seed_torch_global
 
         self._load()
-        torch.manual_seed(seed % (2 ** 31))
+        seed_torch_global(seed)
         messages = [{"role": "system", "content": system_prompt},
                     {"role": "user", "content": prompt}]
         text = self._tok.apply_chat_template(messages, tokenize=False,

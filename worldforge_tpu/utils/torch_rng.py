@@ -33,3 +33,12 @@ class TorchCompatibleRNG:
 def torch_randn(shape: Sequence[int], seed: int = 42) -> np.ndarray:
     """One-shot torch.manual_seed(seed)-equivalent normal draw."""
     return TorchCompatibleRNG(seed).randn(*shape)
+
+
+def seed_torch_global(seed: int) -> None:
+    """Seed torch's global RNG (host-side interop for transformers-backed
+    generation, e.g. utils/prompt_extend.TransformersPromptExpander —
+    keeps the repo's only torch imports in this module + io/torch_load)."""
+    import torch  # noqa: PLC0415
+
+    torch.manual_seed(seed % (2 ** 31))

@@ -103,7 +103,16 @@ def remove_outliers(warped_image, warped_mask, warped_depth,
     if valid == 0 or valid < min_neighbors * 2:
         return img, m, d
     kn = _neighbor_kernel(neighbor_radius)
-    counts = cv2.filter2D((warped_mask > 0).astype(np.float32), -1, kn)
+    mf = (warped_mask > 0).astype(np.float32)
+    if valid > 5000:
+        counts = cv2.filter2D(mf, -1, kn)        # reflect-101 border
+    else:
+        # the reference routes small data to scipy with a constant-0
+        # border (utils_warp.py:486-489) — border pixels get FEWER
+        # neighbors than under cv2's reflection, so edge outliers are
+        # removed exactly as in the reference
+        from scipy import ndimage
+        counts = ndimage.convolve(mf, kn, mode="constant", cval=0.0)
     out = (warped_mask > 0) & (counts < min_neighbors)
     if out.any():
         m[out] = 0
@@ -183,7 +192,13 @@ def fill_segment_cracks(warped_image, warped_depth, segment_mask,
 
 
 def merge_depth_segments(filled_results: List, image_shape):
-    """Far-to-near overwrite merge (utils_warp.py:627-661)."""
+    """Far-to-near overwrite merge (utils_warp.py:627-661). Returns None
+    only for an EMPTY results list (the reference's :629-630 guard, dead
+    in practice); when segments exist but none has valid pixels the
+    reference returns the all-zero image/mask — so must we, or the caller
+    takes a fill_small_cracks fallback the reference never takes."""
+    if not filled_results:
+        return None, None, None
     H, W, C = image_shape
     mi = np.zeros((H, W, C), np.float32)
     mm = np.zeros((H, W), np.uint8)
@@ -200,8 +215,6 @@ def merge_depth_segments(filled_results: List, image_shape):
             mi[ok] = fi[ok]
             mm[ok] = fm[ok]
             md[ok] = fd[ok]
-    if not pri:
-        return None, None, None
     return mi, mm, md
 
 
