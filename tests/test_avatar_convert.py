@@ -70,3 +70,41 @@ def test_avatar_dit_conversion_parity(avatar_ref, rng, num_cond):
     assert out_t.shape == out_j.shape
     rel = np.abs(out_t - out_j).max() / (np.abs(out_t).max() + 1e-8)
     assert rel < 1e-4, rel
+
+
+def test_avatar_ref_mode_parity(avatar_ref, rng):
+    """Ref-image mode (num_ref_latents=1, ref_img_index set): the ref
+    frame must be RoPE-rotated at its ORIGINAL temporal index and the
+    others at 0..N-2 (avatar/rope_3d.py:76-77) — regression for the
+    temporal-grid fix; full torch-oracle parity."""
+    ref, cfg, params = avatar_ref
+    t_lat, num_cond, num_ref, ref_idx, mfr = 5, 2, 1, 7, 2
+    t_video = 1 + cfg.vae_scale * (t_lat - num_ref - 1)
+    x = rng.standard_normal((1, 4, t_lat, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 6, 48)).astype(np.float32)
+    mask = np.ones((1, 1, 1, 6), np.int64)
+    t = np.full((1, t_lat), 650.0, np.float32)
+    t[:, :num_cond] = 0.0
+    audio = rng.standard_normal(
+        (1, t_video, cfg.audio_window, cfg.audio_blocks,
+         cfg.audio_channels)).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        out_t = ref(torch.tensor(x), torch.tensor(t),
+                    torch.tensor(ctx)[:, None],
+                    encoder_attention_mask=torch.tensor(mask),
+                    num_cond_latents=num_cond,
+                    audio_embs=torch.tensor(audio),
+                    num_ref_latents=num_ref, ref_img_index=ref_idx,
+                    mask_frame_range=mfr).numpy()
+
+    out_j = np.asarray(avatar_dit_forward(
+        params, cfg, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+        jnp.asarray(audio),
+        encoder_attention_mask=jnp.ones((1, 6), jnp.int32),
+        num_cond_latents=num_cond, num_ref_latents=num_ref,
+        ref_img_index=ref_idx, mask_frame_range=mfr, policy=FP32_POLICY))
+
+    assert out_t.shape == out_j.shape
+    rel = np.abs(out_t - out_j).max() / (np.abs(out_t).max() + 1e-8)
+    assert rel < 1e-4, rel

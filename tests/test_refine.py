@@ -60,3 +60,24 @@ def test_generate_refine_bsa_grid(refine_pipe, rng):
         use_bsa=True, bsa_sparsity=0.5)
     assert out.shape == (1, 3, 13, 128, 256)
     assert np.isfinite(out).all()
+
+
+def test_generate_refine_streaming_vae(refine_pipe, rng):
+    """Regression: refine pads frames to T % 4 == 0 (BSA granularity,
+    reference :1411-1428), which the streaming encoder's 1+4k chunking
+    cannot take — the shape-aware dispatch must fall back to the
+    single-pass encoder instead of crashing, and match the non-streaming
+    result (the decode side still streams)."""
+    import dataclasses
+    stage1 = rng.uniform(0, 1, (5, 16, 16, 3)).astype(np.float32)
+    pe = jnp.asarray(rng.standard_normal(
+        (1, 6, refine_pipe.dit_cfg.caption_channels)), jnp.float32)
+    pmask = jnp.ones((1, 6), jnp.int32)
+    spipe = dataclasses.replace(refine_pipe, streaming_vae=True)
+    kw = dict(height=32, width=32, num_inference_steps=3, t_thresh=0.5,
+              spatial_refine_only=True, use_bsa=False)
+    out_s = spipe.generate_refine(jax.random.key(5), stage1, pe, pmask, **kw)
+    out_d = refine_pipe.generate_refine(jax.random.key(5), stage1, pe,
+                                        pmask, **kw)
+    assert out_s.shape == (1, 3, 5, 32, 32)
+    np.testing.assert_allclose(out_s, out_d, atol=2e-5, rtol=2e-5)

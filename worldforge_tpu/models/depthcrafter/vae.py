@@ -113,7 +113,8 @@ def _vae_attn(pn, pa, x, eps):
     return x + _attn(pa, h, h, heads=1).reshape(n, hh, ww, c)
 
 
-def svd_vae_encode(params, cfg: SVDVAEConfig, frames: jnp.ndarray
+def svd_vae_encode(params, cfg: SVDVAEConfig, frames: jnp.ndarray,
+                   scale: bool = True
                    ) -> jnp.ndarray:
     """frames [T, 3, H, W] in [-1,1] -> scaled latent means
     [T, 4, H/8, W/8] (the pipeline uses the distribution mean,
@@ -138,7 +139,11 @@ def svd_vae_encode(params, cfg: SVDVAEConfig, frames: jnp.ndarray
     x = _conv2d(e["conv_out"], x)
     x = _conv2d(e["quant_conv"], x)
     mean = x[..., :cfg.latent_channels]
-    return mean.transpose(0, 3, 1, 2) * SVD_VAE_SCALING
+    out = mean.transpose(0, 3, 1, 2)
+    # DepthCrafter's conditioning path concatenates RAW latent_dist.mode()
+    # — no scaling-factor multiply (depth_crafter_ppl.py:51-67); only a
+    # caller generating latents for the denoiser wants the 0.18215 scale
+    return out * SVD_VAE_SCALING if scale else out
 
 
 def svd_vae_decode(params, cfg: SVDVAEConfig, latents: jnp.ndarray

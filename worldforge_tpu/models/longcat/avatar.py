@@ -652,6 +652,12 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
 
     token_masks = None
     if ref_target_masks is not None:
+        if num_cond_latents <= 0:
+            # reference assert (avatar/attention.py:208) — without it the
+            # failure is an opaque XLA broadcast error deep in the scan
+            raise ValueError(
+                "multitalk (ref_target_masks) only supports image-to-video"
+                " or video continuation: num_cond_latents must be > 0")
         # [2, H, W] pixel masks -> [2, Nh*Nw] token masks (nearest,
         # :453-461); both speakers' audio tokens concat per frame (:445)
         tm = jax.image.resize(ref_target_masks.astype(jnp.float32),
@@ -661,7 +667,16 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
         audio = audio.transpose(1, 0, 2, 3).reshape(
             1, nt, -1, cfg.output_dim)             # [1, T, 2M, C_a]
 
-    cos, sin = rope_cos_sin(nt, nh, nw, base.head_dim)
+    if num_ref_latents and ref_img_index is not None:
+        # ref-image mode: the ref frame keeps its ORIGINAL temporal
+        # position, the cond/noise frames start at 0
+        # (avatar/rope_3d.py:76-77: grid_t = [frame_index, 0..N-ref-1])
+        tpos = (float(ref_img_index),
+                *range(nt - num_ref_latents))
+        cos, sin = rope_cos_sin(nt, nh, nw, base.head_dim,
+                                t_positions=tpos)
+    else:
+        cos, sin = rope_cos_sin(nt, nh, nw, base.head_dim)
 
     def body(carry, layer):
         out = avatar_layer_forward(layer, cfg, carry, t_emb, ctx, kv_lens,

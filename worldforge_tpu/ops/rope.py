@@ -15,7 +15,7 @@ reshape: even/odd interleaved pairs (x[2i], x[2i+1]).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,14 +39,21 @@ def rope_3d_split(head_dim: int) -> Tuple[int, int, int]:
 @functools.lru_cache(maxsize=32)
 def rope_3d_angles(f: int, h: int, w: int, head_dim: int,
                    theta: float = 10000.0,
-                   h_offset: int = 0, w_offset: int = 0) -> np.ndarray:
+                   h_offset: int = 0, w_offset: int = 0,
+                   t_positions: Optional[tuple] = None) -> np.ndarray:
     """Per-token rotation angles [f*h*w, head_dim/2] (numpy, cached).
 
     h_offset/w_offset support context-parallel shards that own a spatial
     sub-rectangle (reference shards precomputed freqs, rope_3d.py:91-96).
+    t_positions: explicit temporal grid (len f) overriding 0..f-1 — the
+    avatar ref-image mode rotates the ref frame at its ORIGINAL index
+    (avatar/rope_3d.py:76-77 grid_t = [frame_index, 0..N-ref-1]).
     """
     dim_t, dim_h, dim_w = rope_3d_split(head_dim)
-    ang_t = _freqs_1d(np.arange(f), dim_t, theta)            # [f, dim_t/2]
+    tpos = (np.asarray(t_positions, np.float64) if t_positions is not None
+            else np.arange(f))
+    assert tpos.shape[0] == f, (tpos.shape, f)
+    ang_t = _freqs_1d(tpos, dim_t, theta)                    # [f, dim_t/2]
     ang_h = _freqs_1d(np.arange(h_offset, h_offset + h), dim_h, theta)
     ang_w = _freqs_1d(np.arange(w_offset, w_offset + w), dim_w, theta)
     out = np.concatenate([
@@ -60,8 +67,10 @@ def rope_3d_angles(f: int, h: int, w: int, head_dim: int,
 
 def rope_cos_sin(f: int, h: int, w: int, head_dim: int,
                  theta: float = 10000.0, h_offset: int = 0,
-                 w_offset: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    ang = rope_3d_angles(f, h, w, head_dim, theta, h_offset, w_offset)
+                 w_offset: int = 0, t_positions: Optional[tuple] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ang = rope_3d_angles(f, h, w, head_dim, theta, h_offset, w_offset,
+                         t_positions)
     return (jnp.asarray(np.cos(ang).astype(np.float32)),
             jnp.asarray(np.sin(ang).astype(np.float32)))
 

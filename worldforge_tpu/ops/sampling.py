@@ -53,3 +53,32 @@ def resize_align_corners(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     pts = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)[None]
     pts = jnp.broadcast_to(pts, (b, h * w, 2))
     return bilinear_sample(x, pts, padding="border").reshape(b, h, w, c)
+
+
+def interp1d_align_corners(x: jnp.ndarray, n_out: int, axis: int
+                           ) -> jnp.ndarray:
+    """Linear align_corners=True resample along one axis (torch
+    F.interpolate(mode='linear'/'trilinear', align_corners=True) is
+    separable, so 3D resizes compose from this)."""
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    p = jnp.linspace(0.0, n_in - 1.0, n_out)
+    i0 = jnp.floor(p).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n_in - 1)
+    w1 = (p - i0).astype(x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    w1 = w1.reshape(shape)
+    x0 = jnp.take(x, i0, axis=axis)
+    x1 = jnp.take(x, i1, axis=axis)
+    return x0 * (1.0 - w1) + x1 * w1
+
+
+def resize3d_align_corners(x: jnp.ndarray, t: int, h: int, w: int
+                           ) -> jnp.ndarray:
+    """align_corners=True trilinear resize of [B, C, T, H, W] (torch
+    F.interpolate(mode='trilinear', align_corners=True))."""
+    x = interp1d_align_corners(x, t, axis=2)
+    x = interp1d_align_corners(x, h, axis=3)
+    return interp1d_align_corners(x, w, axis=4)

@@ -95,10 +95,11 @@ class DepthCrafterPipeline:
         for s0 in range(0, t_frames, decode_chunk_size):
             cond_latents.append(svd_vae_encode(
                 self.vae_params, self.vae_cfg,
-                frames_aug[s0:s0 + decode_chunk_size]))
+                frames_aug[s0:s0 + decode_chunk_size], scale=False))
         video_latents = jnp.concatenate(cond_latents, axis=0)[None]
-        # conditioning latents are UNSCALED in SVD (latent dist mean/scaling
-        # handled by encode); [1, T, 4, h, w]
+        # conditioning latents are the RAW latent_dist.mode() — the
+        # reference applies NO scaling factor here
+        # (depth_crafter_ppl.py:64,181); [1, T, 4, h, w]
 
         sched = make_edm_euler_schedule(num_inference_steps)
         add_ids = jnp.asarray([[7.0, 127.0, noise_aug_strength]], jnp.float32)

@@ -28,8 +28,7 @@ import numpy as np
 from worldforge_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
                                                longcat_dit_forward)
-from worldforge_tpu.models.wan.vae import (WanVAEConfig, vae_decode,
-                                           vae_encode)
+from worldforge_tpu.models.wan.vae import WanVAEConfig
 from worldforge_tpu.sampling.channel_select import apply_channel_replacement
 from worldforge_tpu.sampling.flow_match import (FlowMatchSchedule,
                                                 cfg_zero_combine,
@@ -55,13 +54,8 @@ class LongCatPipeline:
     mesh: object = None
 
     def _vae_fns(self):
-        if self.streaming_vae:
-            from worldforge_tpu.models.wan.vae_stream import (
-                vae_decode_streaming, vae_encode_streaming as e)
-            d = functools.partial(vae_decode_streaming,
-                                  chunk=self.streaming_vae_chunk)
-            return d, e
-        return vae_decode, vae_encode
+        from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
+        return vae_fn_pair(self.streaming_vae, self.streaming_vae_chunk)
 
     def _vae_decode_fn(self):
         d, _ = self._vae_fns()
@@ -81,7 +75,8 @@ class LongCatPipeline:
             return longcat_dit_forward(
                 params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
                 encoder_attention_mask=ctx_mask,
-                num_cond_latents=num_cond_latents, mesh=self.mesh)
+                num_cond_latents=num_cond_latents, mesh=self.mesh,
+                policy=self.policy)
 
         return run
 
@@ -96,7 +91,8 @@ class LongCatPipeline:
                 params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
                 encoder_attention_mask=ctx_mask,
                 num_cond_latents=num_cond_latents,
-                bsa_params={"sparsity": sparsity}, mesh=self.mesh)
+                bsa_params={"sparsity": sparsity}, mesh=self.mesh,
+                policy=self.policy)
 
         return run
 
@@ -126,13 +122,15 @@ class LongCatPipeline:
                 v = longcat_dit_forward(dit_params, cfg,
                                         lat.astype(jnp.float32), tb, pe,
                                         encoder_attention_mask=pmask,
-                                        num_cond_latents=1, mesh=self.mesh)
+                                        num_cond_latents=1,
+                                        mesh=self.mesh, policy=self.policy)
                 if do_cfg:
                     vu = longcat_dit_forward(dit_params, cfg,
                                              lat.astype(jnp.float32), tb,
                                              ne, encoder_attention_mask=nmask,
                                              num_cond_latents=1,
-                                             mesh=self.mesh)
+                                             mesh=self.mesh,
+                                             policy=self.policy)
                     v = cfg_zero_combine(v, vu, gscale)
                 return -v
 
@@ -362,14 +360,15 @@ class LongCatPipeline:
                   h_lat, w_lat), jnp.float32)
 
         kv_cache = longcat_dit_cache_cond(self.dit_params, self.dit_cfg,
-                                          cond_lat)
+                                          cond_lat, policy=self.policy)
         latents = noise
         for i in range(sched.num_steps):
             nt = latents.shape[2] // self.dit_cfg.patch_size[0]
             tb = jnp.full((b, nt), float(sched.timesteps[i]), jnp.float32)
             v = longcat_dit_forward_with_cache(
                 self.dit_params, self.dit_cfg, latents, tb, prompt_embeds,
-                kv_cache, (n_cond_lat,), encoder_attention_mask=prompt_mask)
+                kv_cache, (n_cond_lat,), policy=self.policy,
+                encoder_attention_mask=prompt_mask)
             latents = fm_euler_step(sched, i, latents, -v)
 
         full = jnp.concatenate([cond_lat, latents], axis=2)
@@ -405,8 +404,12 @@ class LongCatPipeline:
         t_in = stage1_video.shape[0]
         new_t = t_in if spatial_refine_only else 2 * t_in
 
+        from worldforge_tpu.ops.sampling import resize3d_align_corners
         vid = jnp.asarray(stage1_video, jnp.float32).transpose(3, 0, 1, 2)[None]
-        up = jax.image.resize(vid, (1, 3, new_t, height, width), "trilinear")
+        # align_corners=True bilinear+trilinear, matching the reference's
+        # F.interpolate calls (pipeline :1403-1407) — jax.image.resize's
+        # half-pixel mapping shifts the upscale by up to half a source px
+        up = resize3d_align_corners(vid, new_t, height, width)
         up = up * 2.0 - 1.0
 
         # pad noise frames to BSA granularity (:1411-1424, no cond frames
@@ -438,6 +441,12 @@ class LongCatPipeline:
         # BSA requires the token grid to factor into (4,4,8) chunks
         hw_ok = (latents.shape[3] // 2) % 4 == 0 and \
                 (latents.shape[4] // 2) % 8 == 0 and t_lat % 4 == 0
+        if use_bsa and not hw_ok:
+            print(f"generate_refine: BSA disabled — token grid "
+                  f"({t_lat}, {latents.shape[3] // 2}, "
+                  f"{latents.shape[4] // 2}) does not factor into (4,4,8) "
+                  f"chunks; running dense attention (pick e.g. 768x1280 -> "
+                  f"48x80 tokens for the sparse path)")
         for i in range(sched.num_steps):
             tb = jnp.full((1, t_lat), float(sched.timesteps[i]), jnp.float32)
             if use_bsa and hw_ok:

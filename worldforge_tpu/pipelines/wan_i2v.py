@@ -34,8 +34,7 @@ import numpy as np
 
 from worldforge_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from worldforge_tpu.models.wan.dit import WanDiTConfig, wan_dit_forward
-from worldforge_tpu.models.wan.vae import (WanVAEConfig, vae_decode,
-                                           vae_encode)
+from worldforge_tpu.models.wan.vae import WanVAEConfig
 from worldforge_tpu.sampling.guidance import (GuidanceConfig, flf_select,
                                               fuse_latents)
 from worldforge_tpu.sampling.unipc import make_flow_unipc_schedule
@@ -68,21 +67,16 @@ class WanI2VPipeline:
     # ------------------------------------------------------------ pieces
 
     def _vae_decode_fn(self):
-        if self.streaming_vae:
-            from worldforge_tpu.models.wan.vae_stream import \
-                vae_decode_streaming
-            return jax.jit(lambda z: vae_decode_streaming(
-                self.vae_params, self.vae_cfg, z,
-                chunk=self.streaming_vae_chunk))
-        return jax.jit(lambda z: vae_decode(self.vae_params, self.vae_cfg, z))
+        from worldforge_tpu.pipelines.vae_dispatch import jit_vae_fns
+        d, _ = jit_vae_fns(self.vae_params, self.vae_cfg,
+                           self.streaming_vae, self.streaming_vae_chunk)
+        return d
 
     def _vae_encode_fn(self):
-        if self.streaming_vae:
-            from worldforge_tpu.models.wan.vae_stream import \
-                vae_encode_streaming
-            return jax.jit(lambda v: vae_encode_streaming(
-                self.vae_params, self.vae_cfg, v))
-        return jax.jit(lambda v: vae_encode(self.vae_params, self.vae_cfg, v))
+        from worldforge_tpu.pipelines.vae_dispatch import jit_vae_fns
+        _, e = jit_vae_fns(self.vae_params, self.vae_cfg,
+                           self.streaming_vae, self.streaming_vae_chunk)
+        return e
 
     @functools.cached_property
     def _dit_step(self):
@@ -94,9 +88,11 @@ class WanI2VPipeline:
             y = condition.astype(jnp.float32)
             tb = jnp.broadcast_to(t, (latents.shape[0],))
             pred = wan_dit_forward(params, cfg, x, tb, ctx,
-                                   clip_fea=clip_fea, y=y, mesh=self.mesh)
+                                   clip_fea=clip_fea, y=y, mesh=self.mesh,
+                                   policy=self.policy)
             uncond = wan_dit_forward(params, cfg, x, tb, ctx_neg,
-                                     clip_fea=clip_fea, y=y, mesh=self.mesh)
+                                     clip_fea=clip_fea, y=y, mesh=self.mesh,
+                                   policy=self.policy)
             # WF CFG form: pred + g*(pred - uncond) (:611)
             return pred + gscale * (pred - uncond)
 
@@ -106,7 +102,8 @@ class WanI2VPipeline:
             y = condition.astype(jnp.float32)
             tb = jnp.broadcast_to(t, (latents.shape[0],))
             return wan_dit_forward(params, cfg, x, tb, ctx,
-                                   clip_fea=clip_fea, y=y, mesh=self.mesh)
+                                   clip_fea=clip_fea, y=y, mesh=self.mesh,
+                                   policy=self.policy)
 
         return run, run_nocfg
 
@@ -123,13 +120,9 @@ class WanI2VPipeline:
 
         cfg = self.dit_cfg
         sched = make_flow_unipc_schedule(num_steps, flow_shift)
-        if self.streaming_vae:
-            from worldforge_tpu.models.wan.vae_stream import (
-                vae_decode_streaming, vae_encode_streaming as _enc)
-            _dec = functools.partial(vae_decode_streaming,
-                                     chunk=self.streaming_vae_chunk)
-        else:
-            _dec, _enc = vae_decode, vae_encode
+        from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
+        _dec, _enc = vae_fn_pair(self.streaming_vae,
+                                 self.streaming_vae_chunk)
 
         @jax.jit
         def run(dit_params, vae_params, latents, condition, pe, ne, ie,
@@ -139,10 +132,12 @@ class WanI2VPipeline:
                 y = condition.astype(jnp.float32)
                 tb = jnp.broadcast_to(t, (lat.shape[0],))
                 pred = wan_dit_forward(dit_params, cfg, x, tb, pe,
-                                       clip_fea=ie, y=y, mesh=self.mesh)
+                                       clip_fea=ie, y=y, mesh=self.mesh,
+                                   policy=self.policy)
                 if do_cfg:
                     unc = wan_dit_forward(dit_params, cfg, x, tb, ne,
-                                          clip_fea=ie, y=y, mesh=self.mesh)
+                                          clip_fea=ie, y=y, mesh=self.mesh,
+                                   policy=self.policy)
                     pred = pred + gscale * (pred - unc)
                 return pred
 

@@ -71,7 +71,7 @@ class WanT2VPipeline:
         h_lat, w_lat = height // self.vae_scale_s, width // self.vae_scale_s
         z = self.dit_cfg.out_dim
         key, k_lat = jax.random.split(key)
-        latents = jax.random.normal(key, (b, z, t_lat, h_lat, w_lat),
+        latents = jax.random.normal(k_lat, (b, z, t_lat, h_lat, w_lat),
                                     jnp.float32)
 
         cond = None
