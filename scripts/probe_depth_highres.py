@@ -34,37 +34,45 @@ def main():
         SVDUNetConfig, init_svd_unet, svd_unet_forward)
 
     cfg = SVDUNetConfig.svd()
-    f, hl, wl = 110, 576 // 8, 1024 // 8     # latent 72 x 128
+    hl, wl = 576 // 8, 1024 // 8             # latent 72 x 128
     key = jax.random.key(0)
     params = init_svd_unet(key, cfg, dtype=jnp.bfloat16)
     _sync(params["conv_in"]["w"])
     print("SVD UNet bf16 resident (~3 GB)", flush=True)
 
-    sample = jax.random.normal(key, (1, f, cfg.in_channels, hl, wl),
-                               jnp.bfloat16)
-    ctx = jax.random.normal(jax.random.key(1),
-                            (1, f, 1, cfg.cross_attention_dim), jnp.bfloat16)
-    ids = jnp.asarray([[6.0, 127.0, 0.02]], jnp.float32)
+    # Window-size ladder: 110 is the reference's long-video window; if the
+    # full window does not compile on 16 GB, find the capacity edge (the
+    # pipeline's sliding windows make any of these a valid serving config).
+    for f in (110, 72, 48, 24):
+        sample = jax.random.normal(key, (1, f, cfg.in_channels, hl, wl),
+                                   jnp.bfloat16)
+        ctx = jax.random.normal(jax.random.key(1),
+                                (1, f, 1, cfg.cross_attention_dim),
+                                jnp.bfloat16)
+        ids = jnp.asarray([[6.0, 127.0, 0.02]], jnp.float32)
 
-    step = jax.jit(lambda p, x, t: svd_unet_forward(p, cfg, x, t, ctx, ids))
-    try:
-        out = step(params, sample, jnp.float32(500.0))
-        _sync(out)
-    except Exception as e:
-        print(f"FAILED at (1,{f},{cfg.in_channels},{hl},{wl}): "
-              f"{type(e).__name__}: {str(e)[:300]}")
-        return
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(2):
-            out = step(params, sample, jnp.float32(500.0))
-        _sync(out)
-        best = min(best, (time.perf_counter() - t0) / 2)
-    steps = 5
-    fps = f / (steps * best)
-    print(f"1024x576 x {f}f UNet fwd: {best:.2f} s -> {steps}-step depth "
-          f"{fps:.2f} fps/chip (published A100: 2.1 fps -> {fps/2.1:.2f}x)")
+        step = jax.jit(lambda p, x, t, c: svd_unet_forward(p, cfg, x, t,
+                                                           c, ids))
+        try:
+            out = step(params, sample, jnp.float32(500.0), ctx)
+            _sync(out)
+        except Exception as e:
+            print(f"FAILED at (1,{f},{cfg.in_channels},{hl},{wl}): "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            continue
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(2):
+                out = step(params, sample, jnp.float32(500.0), ctx)
+            _sync(out)
+            best = min(best, (time.perf_counter() - t0) / 2)
+        steps = 5
+        fps = f / (steps * best)
+        print(f"1024x576 x {f}f UNet fwd: {best:.2f} s -> {steps}-step "
+              f"depth {fps:.2f} fps/chip (published A100 @110f: 2.1 fps "
+              f"-> {fps/2.1:.2f}x)")
+        break
 
 
 if __name__ == "__main__":

@@ -45,10 +45,15 @@ def main():
     fns = {}
     for mode in ("3d", "2d", "pallas"):
         vae_mod._CONV3D_MODE = mode
-        dec = jax.jit(lambda zz, _m=mode: vae_decode_streaming(
-            params, cfg, zz))
-        enc = jax.jit(lambda vv, _m=mode: vae_encode_streaming(
-            params, cfg, vv))
+        # params must be a jit ARGUMENT: closing over them embeds ~0.5 GB of
+        # fp32 constants in the remote-compile payload (HTTP 413 on the
+        # tunnel).
+        dec_base = jax.jit(lambda pp, zz, _m=mode: vae_decode_streaming(
+            pp, cfg, zz))
+        enc_base = jax.jit(lambda pp, vv, _m=mode: vae_encode_streaming(
+            pp, cfg, vv))
+        dec = lambda zz, _f=dec_base: _f(params, zz)
+        enc = lambda vv, _f=enc_base: _f(params, vv)
         out = dec(z)
         _sync(out)
         oz = enc(video)

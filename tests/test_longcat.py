@@ -81,6 +81,24 @@ def test_longcat_forward_shapes(tiny_lc):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_ffn_chunk_equivalence(tiny_lc):
+    """ffn_chunk tiles the FFN over tokens — row-wise identical math (the
+    capacity lever that fits the full int8 model on 16 GB; docs/PERF.md)."""
+    cfg, params = tiny_lc
+    x = jax.random.normal(jax.random.key(1), (1, 16, 3, 8, 8), jnp.float32)
+    t = jnp.asarray([[500.0, 300.0, 100.0]])
+    ctx = jax.random.normal(jax.random.key(2), (1, 10, cfg.caption_channels))
+    cmask = jnp.ones((1, 10), jnp.int32)
+    base = longcat_dit_forward(params, cfg, x, t, ctx, cmask)
+    # N = 3*4*4 = 48 tokens; chunk 4 divides it
+    chunked = longcat_dit_forward(params, cfg, x, t, ctx, cmask, ffn_chunk=4)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(base),
+                               rtol=0, atol=1e-5)
+    # non-dividing chunk falls back to the unchunked path
+    fallback = longcat_dit_forward(params, cfg, x, t, ctx, cmask, ffn_chunk=7)
+    np.testing.assert_array_equal(np.asarray(fallback), np.asarray(base))
+
+
 def test_longcat_cond_split_blocks_noise_to_cond_influence(tiny_lc):
     """With num_cond_latents=1, changing NOISE frames must not change the
     cond-frame self-attn output path... cond tokens attend only to cond."""

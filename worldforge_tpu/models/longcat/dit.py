@@ -310,7 +310,7 @@ def longcat_layer_forward(p, cfg: LongCatDiTConfig, x, t_emb, ctx, kv_lens,
                           cos, sin, T: int, num_cond_latents: int = 0,
                           policy: Policy = DEFAULT_POLICY,
                           attn_impl: str = "auto", mesh=None, grid3d=None,
-                          bsa_params=None):
+                          bsa_params=None, ffn_chunk: int = 1):
     """x: [B, N, C] fp32 stream; t_emb: [B, T, adaln_dim] fp32;
     ctx: [B, M, C]."""
     b, n, c = x.shape
@@ -334,8 +334,21 @@ def longcat_layer_forward(p, cfg: LongCatDiTConfig, x, t_emb, ctx, kv_lens,
 
     x_m = _modulate_per_frame(xf, sh_f, sc_f, T, cfg.eps).astype(
         policy.compute_dtype)
-    ff = P.dense(p["w2"], jax.nn.silu(P.dense(p["w1"], x_m))
-                 * P.dense(p["w3"], x_m))
+
+    def _ffn(xc):
+        return P.dense(p["w2"], jax.nn.silu(P.dense(p["w1"], xc))
+                       * P.dense(p["w3"], xc))
+
+    if ffn_chunk > 1 and n % ffn_chunk == 0 and mesh is None:
+        # Token-chunked FFN: row-wise identical math, but the two
+        # [N, ffn_hidden] gate transients shrink by ffn_chunk — the
+        # capacity lever that fits the full 48-layer int8 model in 16 GB
+        # HBM (the unchunked gates alone are ~1 GB at 480p, ~3 GB at the
+        # 720p refine shape).
+        xs = x_m.reshape(b, ffn_chunk, n // ffn_chunk, c).swapaxes(0, 1)
+        ff = jax.lax.map(_ffn, xs).swapaxes(0, 1).reshape(b, n, c)
+    else:
+        ff = _ffn(x_m)
     ff = ff.astype(jnp.float32).reshape(b, T, n // T, c)
     xf = xf + (g_f[:, :, None] * ff).reshape(b, n, c)
     return xf
@@ -351,7 +364,7 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
                         policy: Policy = DEFAULT_POLICY,
                         attn_impl: str = "auto", mesh=None,
                         bsa_params=None,
-                        remat: bool = False):
+                        remat: bool = False, ffn_chunk: int = 1):
     """hidden_states: [B, C_in, T, H, W]; timestep: [B] or [B, T'] (per-frame,
     the WF i2v path zeroes frame 0); encoder_hidden_states: [B, M, 4096];
     encoder_attention_mask: [B, M] (1=valid). Returns [B, C_out, T, H, W]
@@ -393,7 +406,7 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
         out = longcat_layer_forward(layer, cfg, carry, t_emb, ctx, kv_lens,
                                     cos, sin, nt, num_cond_latents, policy,
                                     attn_impl, mesh, (nt, nh, nw),
-                                    bsa_params)
+                                    bsa_params, ffn_chunk=ffn_chunk)
         return out, None
 
     if remat:
