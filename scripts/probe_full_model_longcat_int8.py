@@ -50,7 +50,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=["distill", "refine"],
                     default="distill")
-    ap.add_argument("--ffn-chunk", type=int, default=1,
+    ap.add_argument("--token-chunk", type=int, default=1,
                     help="token-chunk the FFN (exact math) to shrink the "
                          "[N, ffn_hidden] gate transients; needed to fit "
                          "48 int8 layers + activations in 16 GB HBM")
@@ -82,7 +82,7 @@ def main():
     ctx = jax.random.normal(key, (1, 160, cfg.caption_channels), jnp.bfloat16)
 
     step = jax.jit(lambda p, x, t, c: longcat_dit_forward(
-        p, cfg, x, t, c, bsa_params=bsa, ffn_chunk=args.ffn_chunk))
+        p, cfg, x, t, c, bsa_params=bsa, token_chunk=args.token_chunk))
     dt = _time(step, params, x, t, ctx)
     print(f"{args.phase}: full 48-layer fwd {dt*1e3:.0f} ms", flush=True)
     if args.phase == "distill":

@@ -81,8 +81,8 @@ def test_longcat_forward_shapes(tiny_lc):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_ffn_chunk_equivalence(tiny_lc):
-    """ffn_chunk tiles the FFN over tokens — row-wise identical math (the
+def test_token_chunk_equivalence(tiny_lc):
+    """token_chunk tiles the FFN over tokens — row-wise identical math (the
     capacity lever that fits the full int8 model on 16 GB; docs/PERF.md)."""
     cfg, params = tiny_lc
     x = jax.random.normal(jax.random.key(1), (1, 16, 3, 8, 8), jnp.float32)
@@ -91,11 +91,11 @@ def test_ffn_chunk_equivalence(tiny_lc):
     cmask = jnp.ones((1, 10), jnp.int32)
     base = longcat_dit_forward(params, cfg, x, t, ctx, cmask)
     # N = 3*4*4 = 48 tokens; chunk 4 divides it
-    chunked = longcat_dit_forward(params, cfg, x, t, ctx, cmask, ffn_chunk=4)
+    chunked = longcat_dit_forward(params, cfg, x, t, ctx, cmask, token_chunk=4)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(base),
                                rtol=0, atol=1e-5)
     # non-dividing chunk falls back to the unchunked path
-    fallback = longcat_dit_forward(params, cfg, x, t, ctx, cmask, ffn_chunk=7)
+    fallback = longcat_dit_forward(params, cfg, x, t, ctx, cmask, token_chunk=7)
     np.testing.assert_array_equal(np.asarray(fallback), np.asarray(base))
 
 

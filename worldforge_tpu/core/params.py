@@ -48,10 +48,21 @@ def dense(p: dict, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
         y = dense_q4(p, x, out_dtype=compute_dtype or x.dtype)
     else:
         w = p["w"]
-        if compute_dtype is not None:
-            w = w.astype(compute_dtype)
-            x = x.astype(compute_dtype)
-        y = x @ w
+        if (compute_dtype == jnp.float32 and w.dtype == jnp.bfloat16):
+            # bf16-stored weights with fp32 accumulation: native MXU mixed
+            # precision. Upcasting w instead would materialize (and, for
+            # scan-stacked weights, hoist) a full fp32 copy — see
+            # ops/quant.py adaLN handling.
+            from jax import lax
+            y = lax.dot_general(
+                x.astype(jnp.bfloat16), w,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            if compute_dtype is not None:
+                w = w.astype(compute_dtype)
+                x = x.astype(compute_dtype)
+            y = x @ w
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
     if "lora_down" in p:

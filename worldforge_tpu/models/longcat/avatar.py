@@ -41,6 +41,7 @@ from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig, _heads_hd,
                                                _cross_attention_lc,
                                                _self_attention_lc,
                                                init_longcat_layer,
+                                               swiglu_ffn,
                                                timestep_embedding)
 from worldforge_tpu.ops.attention import attention
 from worldforge_tpu.ops.rope import rope_cos_sin
@@ -375,7 +376,7 @@ def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
                          mask_frame_range: Optional[int] = None,
                          ref_target_masks: Optional[jnp.ndarray] = None,
                          policy: Policy = DEFAULT_POLICY,
-                         attn_impl: str = "auto"):
+                         attn_impl: str = "auto", token_chunk: int = 1):
     """Base LongCat block with the audio cross-attn branch inserted between
     text cross-attn and FFN (longcat_video_dit_avatar.py:98-192).
     audio: [B, T, M, C_a] per-latent-frame context tokens (2M tokens per
@@ -443,8 +444,7 @@ def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
     # FFN
     x_m = _modulate_per_frame(xf, sh_f, sc_f, T, base.eps).astype(
         policy.compute_dtype)
-    ff = P.dense(p["w2"], jax.nn.silu(P.dense(p["w1"], x_m))
-                 * P.dense(p["w3"], x_m))
+    ff = swiglu_ffn(p, x_m, token_chunk)
     ff = ff.astype(jnp.float32).reshape(b, T, n // T, c)
     return xf + (g_f[:, :, None] * ff).reshape(b, n, c)
 
@@ -609,7 +609,7 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
                        mask_frame_range: Optional[int] = None,
                        ref_target_masks: Optional[jnp.ndarray] = None,
                        policy: Policy = DEFAULT_POLICY,
-                       attn_impl: str = "auto"):
+                       attn_impl: str = "auto", token_chunk: int = 1):
     """hidden_states [B, C_in, T, H, W]; audio_embs [B, T_video, W, S, C_a]
     per-video-frame wav2vec windows — with the batch axis holding the TWO
     speakers when ref_target_masks ([2, H, W] pixel masks, multitalk) is
@@ -683,7 +683,7 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
                                    audio, cos, sin, nt, num_cond_latents,
                                    num_ref_latents or 0, ref_img_index,
                                    mask_frame_range, token_masks, policy,
-                                   attn_impl)
+                                   attn_impl, token_chunk=token_chunk)
         return out, None
 
     xN, _ = jax.lax.scan(body, x.astype(jnp.float32), params["blocks"])

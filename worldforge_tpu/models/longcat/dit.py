@@ -218,18 +218,46 @@ def _modulate_per_frame(x, shift, scale, T, eps):
     return y.reshape(b, n, c)
 
 
+def _qkv_prologue(p, cfg, x_m, cos, sin, cdt, token_chunk: int = 1):
+    """QKV projection + head-dim RMSNorm + RoPE -> bf16 q, k, v.
+
+    token_chunk > 1 tiles the token axis via lax.map (row-wise identical
+    math). The full q/k/v the attention kernel needs stay materialized;
+    what shrinks by token_chunk is the fused [N, 3C] qkv buffer and the
+    fp32 norm/RoPE transients — measured 1.4 GB + 2×960 MB at the 61440-
+    token refine shape, the largest program allocations after the FFN
+    gates were chunked (docs/PERF.md capacity notes)."""
+    b, n, c = x_m.shape
+    h = cfg.num_heads
+
+    def pro(args):
+        xc, cos_c, sin_c = args
+        qkv = P.dense(p["qkv"], xc.astype(cdt))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _rms_hd(p["q_norm"], _heads_hd(q, h), cfg.eps)
+        k = _rms_hd(p["k_norm"], _heads_hd(k, h), cfg.eps)
+        q, k = apply_rope_qk(q, k, cos_c, sin_c, out_dtype=cdt)
+        return q, k, _heads_hd(v, h)
+
+    if token_chunk > 1 and n % token_chunk == 0:
+        nc = n // token_chunk
+        xs = (x_m.reshape(b, token_chunk, nc, c).swapaxes(0, 1),
+              cos.reshape(token_chunk, nc, *cos.shape[1:]),
+              sin.reshape(token_chunk, nc, *sin.shape[1:]))
+        q, k, v = jax.lax.map(pro, xs)
+        fix = lambda t: t.swapaxes(0, 1).reshape(b, n, h, -1)
+        return fix(q), fix(k), fix(v)
+    return pro((x_m, cos, sin))
+
+
 def _self_attention_lc(p, cfg, x_m, cos, sin, T, num_cond_latents,
                        policy, attn_impl, mesh=None, grid3d=None,
-                       bsa_params=None):
+                       bsa_params=None, token_chunk: int = 1):
     b, n, c = x_m.shape
     cdt = policy.compute_dtype
-    qkv = P.dense(p["qkv"], x_m.astype(cdt))
-    q, k, v = jnp.split(qkv, 3, axis=-1)
     h = cfg.num_heads
-    q = _rms_hd(p["q_norm"], _heads_hd(q, h), cfg.eps)
-    k = _rms_hd(p["k_norm"], _heads_hd(k, h), cfg.eps)
-    v = _heads_hd(v, h)
-    q, k = apply_rope_qk(q, k, cos, sin, out_dtype=cdt)
+    q, k, v = _qkv_prologue(p, cfg, x_m, cos, sin, cdt,
+                            token_chunk if mesh is None else 1)
 
     if bsa_params is not None and grid3d is not None and grid3d[0] > 1:
         # block-sparse path (720p refine, attention.py:58-66); with an sp
@@ -306,11 +334,31 @@ def _cross_attention_lc(p, cfg, x, ctx, kv_lens, T, num_cond_latents,
     return run(x)
 
 
+def swiglu_ffn(p, x_m, token_chunk: int = 1):
+    """SwiGLU FFN (w2(silu(w1 x) * w3 x)), optionally token-chunked.
+
+    token_chunk > 1 tiles the token axis via lax.map — row-wise identical
+    math, but the two [N, ffn_hidden] gate transients shrink by token_chunk:
+    the capacity lever that fits the full 48-layer int8 model in 16 GB HBM
+    (the unchunked gates alone are ~1 GB at 480p, ~3 GB at the 720p refine
+    shape). Falls back to the unchunked path when N is not divisible."""
+    b, n, c = x_m.shape
+
+    def _ffn(xc):
+        return P.dense(p["w2"], jax.nn.silu(P.dense(p["w1"], xc))
+                       * P.dense(p["w3"], xc))
+
+    if token_chunk > 1 and n % token_chunk == 0:
+        xs = x_m.reshape(b, token_chunk, n // token_chunk, c).swapaxes(0, 1)
+        return jax.lax.map(_ffn, xs).swapaxes(0, 1).reshape(b, n, c)
+    return _ffn(x_m)
+
+
 def longcat_layer_forward(p, cfg: LongCatDiTConfig, x, t_emb, ctx, kv_lens,
                           cos, sin, T: int, num_cond_latents: int = 0,
                           policy: Policy = DEFAULT_POLICY,
                           attn_impl: str = "auto", mesh=None, grid3d=None,
-                          bsa_params=None, ffn_chunk: int = 1):
+                          bsa_params=None, token_chunk: int = 1):
     """x: [B, N, C] fp32 stream; t_emb: [B, T, adaln_dim] fp32;
     ctx: [B, M, C]."""
     b, n, c = x.shape
@@ -322,7 +370,8 @@ def longcat_layer_forward(p, cfg: LongCatDiTConfig, x, t_emb, ctx, kv_lens,
     x_m = _modulate_per_frame(xf, sh_a, sc_a, T, cfg.eps)
     y = _self_attention_lc(p, cfg, x_m.astype(policy.compute_dtype), cos,
                            sin, T, num_cond_latents, policy, attn_impl,
-                           mesh, grid3d, bsa_params)
+                           mesh, grid3d, bsa_params,
+                           token_chunk=token_chunk)
     yf = y.astype(jnp.float32).reshape(b, T, n // T, c)
     xf = xf + (g_a[:, :, None] * yf).reshape(b, n, c)
 
@@ -335,20 +384,7 @@ def longcat_layer_forward(p, cfg: LongCatDiTConfig, x, t_emb, ctx, kv_lens,
     x_m = _modulate_per_frame(xf, sh_f, sc_f, T, cfg.eps).astype(
         policy.compute_dtype)
 
-    def _ffn(xc):
-        return P.dense(p["w2"], jax.nn.silu(P.dense(p["w1"], xc))
-                       * P.dense(p["w3"], xc))
-
-    if ffn_chunk > 1 and n % ffn_chunk == 0 and mesh is None:
-        # Token-chunked FFN: row-wise identical math, but the two
-        # [N, ffn_hidden] gate transients shrink by ffn_chunk — the
-        # capacity lever that fits the full 48-layer int8 model in 16 GB
-        # HBM (the unchunked gates alone are ~1 GB at 480p, ~3 GB at the
-        # 720p refine shape).
-        xs = x_m.reshape(b, ffn_chunk, n // ffn_chunk, c).swapaxes(0, 1)
-        ff = jax.lax.map(_ffn, xs).swapaxes(0, 1).reshape(b, n, c)
-    else:
-        ff = _ffn(x_m)
+    ff = swiglu_ffn(p, x_m, token_chunk if mesh is None else 1)
     ff = ff.astype(jnp.float32).reshape(b, T, n // T, c)
     xf = xf + (g_f[:, :, None] * ff).reshape(b, n, c)
     return xf
@@ -364,7 +400,7 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
                         policy: Policy = DEFAULT_POLICY,
                         attn_impl: str = "auto", mesh=None,
                         bsa_params=None,
-                        remat: bool = False, ffn_chunk: int = 1):
+                        remat: bool = False, token_chunk: int = 1):
     """hidden_states: [B, C_in, T, H, W]; timestep: [B] or [B, T'] (per-frame,
     the WF i2v path zeroes frame 0); encoder_hidden_states: [B, M, 4096];
     encoder_attention_mask: [B, M] (1=valid). Returns [B, C_out, T, H, W]
@@ -406,7 +442,7 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
         out = longcat_layer_forward(layer, cfg, carry, t_emb, ctx, kv_lens,
                                     cos, sin, nt, num_cond_latents, policy,
                                     attn_impl, mesh, (nt, nh, nw),
-                                    bsa_params, ffn_chunk=ffn_chunk)
+                                    bsa_params, token_chunk=token_chunk)
         return out, None
 
     if remat:

@@ -192,6 +192,18 @@ def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None,
                 if int4_ok and ("*" in int4_keys or leaf in int4_keys):
                     return quantize_dense_int4(node, group=int4_group)
                 return quantize_dense(node)
+            if "w" in node and not isinstance(node["w"], dict) \
+                    and path.split("/")[-1].endswith("adaln"):
+                # adaLN dense weights: bf16 STORAGE in serving builds (the
+                # reference runs this Linear in bf16 too). Kept fp32 they
+                # cost LongCat ~2.4 GB of arguments plus a 1.12 GB hoisted
+                # bf16-split temp (fp32 dots lower to bf16 MXU passes and
+                # XLA hoists the loop-invariant weight split out of the
+                # layer scan) — measured as the largest allocation in the
+                # 48-layer OOM. P.dense runs bf16-in/fp32-accum on these.
+                out = dict(node)
+                out["w"] = node["w"].astype(jnp.bfloat16)
+                return out
             return {k: walk(v, f"{path}/{k}" if path else k)
                     for k, v in node.items()}
         if isinstance(node, (list, tuple)):

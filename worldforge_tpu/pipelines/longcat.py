@@ -55,7 +55,7 @@ class LongCatPipeline:
     # token-chunked FFN (exact math): shrinks the [N, ffn_hidden] gate
     # transients so the full int8 model + activations fit 16 GB HBM
     # (docs/SERVING.md); single-chip capacity knob, ignored under a mesh
-    ffn_chunk: int = 1
+    token_chunk: int = 1
 
     def _vae_fns(self):
         from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
@@ -80,7 +80,7 @@ class LongCatPipeline:
                 params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
                 encoder_attention_mask=ctx_mask,
                 num_cond_latents=num_cond_latents, mesh=self.mesh,
-                policy=self.policy, ffn_chunk=self.ffn_chunk)
+                policy=self.policy, token_chunk=self.token_chunk)
 
         return run
 
@@ -96,7 +96,7 @@ class LongCatPipeline:
                 encoder_attention_mask=ctx_mask,
                 num_cond_latents=num_cond_latents,
                 bsa_params={"sparsity": sparsity}, mesh=self.mesh,
-                policy=self.policy, ffn_chunk=self.ffn_chunk)
+                policy=self.policy, token_chunk=self.token_chunk)
 
         return run
 
@@ -128,7 +128,7 @@ class LongCatPipeline:
                                         encoder_attention_mask=pmask,
                                         num_cond_latents=1,
                                         mesh=self.mesh, policy=self.policy,
-                                        ffn_chunk=self.ffn_chunk)
+                                        token_chunk=self.token_chunk)
                 if do_cfg:
                     vu = longcat_dit_forward(dit_params, cfg,
                                              lat.astype(jnp.float32), tb,
@@ -136,7 +136,7 @@ class LongCatPipeline:
                                              num_cond_latents=1,
                                              mesh=self.mesh,
                                              policy=self.policy,
-                                             ffn_chunk=self.ffn_chunk)
+                                             token_chunk=self.token_chunk)
                     v = cfg_zero_combine(v, vu, gscale)
                 return -v
 
