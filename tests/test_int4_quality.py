@@ -1,0 +1,63 @@
+"""int4 weight-only capacity-mode QUALITY gates (round-2 VERDICT weak #1).
+
+The int4-FFN mode is the ONLY configuration in which the Wan-14B i2v
+flagship fits a 16 GB v5e (docs/SERVING.md), so its quality bound is a
+serving claim, not a capacity footnote. These gates run the full guided
+state machine (UniPC + IRR re-noise + pixel fuse + FLF + DSG — the
+pipelines/wan_i2v.py wiring, reference
+wan_for_worldforge/utils/pipeline_wan_i2v_clean.py:562-712) with the same
+tiny DiT in fp32 vs int4 and assert FLF channel-set stability plus a
+final-latent drift bound set at the MEASURED drift + ~2x margin (measured
+on this harness: FFN-int4 0.0192, all-int4 0.0228 under the round-3 W4A8
+execution path; 0.0180/0.0230 under round-2 weight-only dequant — the
+former 0.10/0.15 bounds were ~6x looser than reality).
+
+Production-shape evidence: scripts/measure_int4_drift_prod.py runs the
+same machinery at the production latent shape (1,16,13,60,104) with real
+Farneback FLF statistics on the TPU; the measured number is recorded in
+docs/PERF.md and the script gates itself at the bound below.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_guided_drift import _StubVAE
+from tests.test_int8_quality import (N_STEPS, SHAPE, _randomize_head,
+                                     _run_guided)
+from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+from worldforge_tpu.ops.quant import quantize_tree
+
+
+@pytest.mark.parametrize("int4_keys,bound", [
+    (("fc1", "fc2"), 0.04),   # the i2v capacity config (FFN int4); meas 0.019
+    (("*",), 0.05),           # all-int4 (~8 GB) coarsest build; meas 0.023
+])
+def test_w4_guided_pipeline_quality(int4_keys, bound):
+    cfg = WanDiTConfig.tiny("t2v")
+    key = jax.random.key(11)
+    params = _randomize_head(init_wan_dit(key, cfg, dtype=jnp.float32), key)
+    params_q = quantize_tree(params, int4_keys=int4_keys, int4_group=32)
+    assert "w4" in params_q["blocks"]["ffn"]["fc1"]
+
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    noise_seq = [rng.standard_normal(SHAPE).astype(np.float32)
+                 for _ in range(N_STEPS * 2)]
+    vae = _StubVAE(SHAPE[1], seed=99)
+    tgt = (SHAPE[0], 3) + SHAPE[2:]
+    video_pix = rng.uniform(0, 1, tgt).astype(np.float32)
+    mask_pix = (rng.uniform(0, 1, (SHAPE[0], 1) + SHAPE[2:]) > 0.5
+                ).astype(np.float32)
+
+    sel_fp, sel_q = [], []
+    out_fp = _run_guided(params, cfg, x0, list(noise_seq), vae, video_pix,
+                         mask_pix, sel_fp)
+    out_q = _run_guided(params_q, cfg, x0, list(noise_seq), vae, video_pix,
+                        mask_pix, sel_q)
+    assert sel_fp == sel_q, f"FLF selection flipped: {sel_fp} vs {sel_q}"
+    assert any(s for _, s in sel_fp), sel_fp
+    drift = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-8)
+    assert 0.0 < drift < bound, f"w4({int4_keys}) guided drift {drift:.3f}"

@@ -17,7 +17,6 @@ shared noise.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -155,36 +154,5 @@ def test_int8_unguided_drift_bound():
     assert 0.0 < drift < 0.08, f"int8 unguided drift {drift:.3f}"
 
 
-@pytest.mark.parametrize("int4_keys,bound", [
-    (("fc1", "fc2"), 0.10),   # the i2v capacity config (FFN int4)
-    (("*",), 0.15),           # all-int4 (~8 GB) — coarsest serving build
-])
-def test_w4_guided_pipeline_quality(int4_keys, bound):
-    """The int4 capacity modes through the same full guided state machine:
-    FLF channel sets stable, bounded final drift (mirrors the int8 gate —
-    what makes the i2v-fits-16GB claim a serving mode, not just a fit)."""
-    cfg = WanDiTConfig.tiny("t2v")
-    key = jax.random.key(11)
-    params = _randomize_head(init_wan_dit(key, cfg, dtype=jnp.float32), key)
-    params_q = quantize_tree(params, int4_keys=int4_keys, int4_group=32)
-    assert "w4" in params_q["blocks"]["ffn"]["fc1"]
-
-    rng = np.random.default_rng(3)
-    x0 = rng.standard_normal(SHAPE).astype(np.float32)
-    noise_seq = [rng.standard_normal(SHAPE).astype(np.float32)
-                 for _ in range(N_STEPS * 2)]
-    vae = _StubVAE(SHAPE[1], seed=99)
-    tgt = (SHAPE[0], 3) + SHAPE[2:]
-    video_pix = rng.uniform(0, 1, tgt).astype(np.float32)
-    mask_pix = (rng.uniform(0, 1, (SHAPE[0], 1) + SHAPE[2:]) > 0.5
-                ).astype(np.float32)
-
-    sel_fp, sel_q = [], []
-    out_fp = _run_guided(params, cfg, x0, list(noise_seq), vae, video_pix,
-                         mask_pix, sel_fp)
-    out_q = _run_guided(params_q, cfg, x0, list(noise_seq), vae, video_pix,
-                        mask_pix, sel_q)
-    assert sel_fp == sel_q, f"FLF selection flipped: {sel_fp} vs {sel_q}"
-    assert any(s for _, s in sel_fp), sel_fp
-    drift = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-8)
-    assert 0.0 < drift < bound, f"w4({int4_keys}) guided drift {drift:.3f}"
+# The int4 capacity-mode gates live in tests/test_int4_quality.py (they
+# share this module's _run_guided/_randomize_head harness).

@@ -49,15 +49,34 @@ def dense(p: dict, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
     else:
         w = p["w"]
         if (compute_dtype == jnp.float32 and w.dtype == jnp.bfloat16):
-            # bf16-stored weights with fp32 accumulation: native MXU mixed
-            # precision. Upcasting w instead would materialize (and, for
-            # scan-stacked weights, hoist) a full fp32 copy — see
-            # ops/quant.py adaLN handling.
+            # bf16-STORED weights under an fp32 compute request. Upcasting w
+            # would materialize (and, for scan-stacked weights, hoist) a full
+            # fp32 copy — the measured LongCat 48-layer OOM (ops/quant.py).
+            # Instead keep w bf16 and preserve the fp32 ACTIVATION precision
+            # with a two-term bf16 split: x = hi + lo (each bf16), then
+            # y = hi@w + lo@w accumulated fp32 on the MXU. Residual |lo| ≤
+            # 2^-8|x|, so the recovered product is fp32-input-accurate to
+            # ~2^-16 relative — vs ~2^-8 if x were simply truncated to bf16
+            # (which silently degraded the fp32 residual stream feeding
+            # converted-checkpoint heads; round-3 advisor fix). Costs 2x the
+            # matmul FLOPs, only on the small adaLN/head islands that hit
+            # this path. Note the reference runs these layers as TRUE fp32
+            # Linears under autocast(float32) (longcat_video_dit.py:82-85,
+            # blocks.py FinalLayer_FP32) — bf16 storage here is a recorded
+            # TPU capacity deviation (docs/COMPONENTS.md), bounded by
+            # tests/test_params.py::test_dense_bf16_weights_fp32_inputs.
             from jax import lax
-            y = lax.dot_general(
-                x.astype(jnp.bfloat16), w,
-                (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dims = (((x.ndim - 1,), (0,)), ((), ()))
+            if x.dtype == jnp.float32:
+                hi = x.astype(jnp.bfloat16)
+                lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                y = (lax.dot_general(hi, w, dims,
+                                     preferred_element_type=jnp.float32)
+                     + lax.dot_general(lo, w, dims,
+                                       preferred_element_type=jnp.float32))
+            else:
+                y = lax.dot_general(x.astype(jnp.bfloat16), w, dims,
+                                    preferred_element_type=jnp.float32)
         else:
             if compute_dtype is not None:
                 w = w.astype(compute_dtype)

@@ -83,54 +83,76 @@ def is_quantized(p) -> bool:
 
 
 # ------------------------------------------------------------------ int4
-# Weight-only W4 (group-scaled, nibble-packed). Purpose: CAPACITY, not
-# speed — the Mosaic toolchain has no int4 MXU rate, so W4 weights are
-# dequantized to bf16 per matmul (the transient [in,out] bf16 buffer +
-# its HBM round-trip is <2% of the matmul time at 20k tokens). This is
-# what fits the Wan-14B i2v variant (~16.4B params: int8 16.1 GB OOMs a
-# 16 GB v5e, FFN-int4 hybrid ~13.6 GB fits; all-int4 ~8 GB).
+# int4 weight STORAGE (group-scaled, nibble-packed) with int8 EXECUTION
+# (W4A8). Storage is the capacity lever — what fits the Wan-14B i2v
+# variant (~16.4B params: int8 16.1 GB OOMs a 16 GB v5e, FFN-int4 hybrid
+# ~13.6 GB fits; all-int4 ~8 GB). Execution: the Mosaic toolchain has no
+# int4 MXU rate, so per matmul the int4 codes are unpacked and REQUANTIZED
+# to per-output-channel int8 (the requant scale is precomputed at quantize
+# time), then run on the measured-2x int8 MXU path like W8A8 — instead of
+# the round-2 dequant-to-bf16 epilogue that cost the i2v flagship a 17%
+# step-time premium (docs/PERF.md round-2 i2v row).
+#
+# Packing layout (round-3): row i pairs with row i + in/2 — the low
+# nibble holds the TOP half of the in-dim, the high nibble the BOTTOM
+# half, so unpacking is a contiguous concat. The round-2 layout paired
+# rows 2i/2i+1, whose unpack (stack + reshape row interleave) lowered to
+# a strided scatter that dominated the dequant cost.
 
 
 def quantize_weight_int4(w: jnp.ndarray, group: int = 128):
     """[.., in, out] -> (uint8 [.., in/2, out] two-nibble packed,
     fp32 scale [.., in/group, out]). Symmetric [-7, 7] per (group, out)
-    cell; rows 2i/2i+1 pack to the low/high nibble (stored offset by +8).
-    Falls back to per-output-channel scaling when ``group`` does not
-    divide the in-dim."""
+    cell; row i packs to the low nibble and row i + in/2 to the high
+    nibble of byte i (both stored offset by +8). Falls back to
+    per-output-channel scaling when ``group`` does not divide in/2 (both
+    halves must decompose into whole groups for the scale layout)."""
     wf = w.astype(jnp.float32)
     in_dim, out_dim = wf.shape[-2], wf.shape[-1]
     if in_dim % 2:
         raise ValueError(f"int4 packing needs an even in-dim, got {in_dim}")
-    g = group if group and in_dim % group == 0 else in_dim
+    g = group if group and (in_dim // 2) % group == 0 else in_dim
     ng = in_dim // g
     wg = wf.reshape(*wf.shape[:-2], ng, g, out_dim)
     s = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-8)
     q = jnp.clip(jnp.round(wg / s[..., :, None, :]), -7, 7)
     q = q.reshape(*wf.shape[:-2], in_dim, out_dim).astype(jnp.int8)
-    lo = (q[..., 0::2, :] + 8).astype(jnp.uint8)
-    hi = (q[..., 1::2, :] + 8).astype(jnp.uint8)
+    half = in_dim // 2
+    lo = (q[..., :half, :] + 8).astype(jnp.uint8)
+    hi = (q[..., half:, :] + 8).astype(jnp.uint8)
     return lo | (hi << 4), s
 
 
 def quantize_dense_int4(p: dict, group: int = 128) -> dict:
-    """{"w": [in,out], "b"?, ...} -> {"w4", "scale4", "b"?, ...}; extra
-    keys pass through (see quantize_dense)."""
+    """{"w": [in,out], "b"?, ...} -> {"w4", "scale4", "scale8", "b"?, ...};
+    extra keys pass through (see quantize_dense). ``scale8`` [.., out] is
+    the precomputed per-output-channel int8 requantization scale for the
+    W4A8 execution path: s8 = max over the in-dim of |q * scale4| / 127,
+    taken over the int4-DEQUANTIZED weights so requantization is exact up
+    to int8 rounding."""
     w4, s = quantize_weight_int4(p["w"], group=group)
+    # max|dequant| per out column = max over groups of (7 * scale4)
+    s8 = jnp.maximum(7.0 * jnp.max(s, axis=-2) / 127.0, 1e-8)
     out = {k: v for k, v in p.items() if k != "w"}
-    out.update(w4=w4, scale4=s)
+    out.update(w4=w4, scale4=s, scale8=s8)
     if "b" in p:
         out["b"] = p["b"].astype(jnp.float32)
     return out
 
 
+def _unpack_int4(u: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [.., in/2, out] -> int8 codes [.., in, out] in [-7, 7]
+    (contiguous halves concat — no row interleave)."""
+    lo = (u & jnp.uint8(0xF)).astype(jnp.int8) - 8
+    hi = (u >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
 def dequantize_int4(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Unpack {"w4", "scale4"} back to a dense [.., in, out] weight."""
     u = p["w4"]
-    lo = (u & jnp.uint8(0xF)).astype(jnp.int8) - 8
-    hi = (u >> 4).astype(jnp.int8) - 8
+    q = _unpack_int4(u)
     half, out_dim = u.shape[-2], u.shape[-1]
-    q = jnp.stack([lo, hi], axis=-2)            # [.., in/2, 2, out]
-    q = q.reshape(*u.shape[:-2], half * 2, out_dim)
     s = p["scale4"].astype(jnp.float32)
     ng = s.shape[-2]
     wq = q.reshape(*u.shape[:-2], ng, (half * 2) // ng, out_dim)
@@ -138,12 +160,39 @@ def dequantize_int4(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return wq.reshape(*u.shape[:-2], half * 2, out_dim).astype(dtype)
 
 
+def _requantize_int4_to_int8(p: dict) -> jnp.ndarray:
+    """int4 codes -> per-output-channel int8 weights for the MXU int8 dot:
+    w8 = round(q * scale4 / scale8). Pure elementwise (one fused pass);
+    the ratio scale4/scale8 <= 127/7 by construction so no overflow."""
+    u = p["w4"]
+    q = _unpack_int4(u)
+    half, out_dim = u.shape[-2], u.shape[-1]
+    ratio = (p["scale4"].astype(jnp.float32)
+             / p["scale8"].astype(jnp.float32)[..., None, :])
+    ng = ratio.shape[-2]
+    qg = q.reshape(*u.shape[:-2], ng, (half * 2) // ng, out_dim)
+    w8 = jnp.round(qg.astype(jnp.float32) * ratio[..., :, None, :])
+    return jnp.clip(w8, -127, 127).astype(jnp.int8).reshape(
+        *u.shape[:-2], half * 2, out_dim)
+
+
 def dense_q4(p: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
-    """Weight-only int4 matmul: dequant to bf16, bf16 MXU dot."""
-    w = dequantize_int4(p, dtype=jnp.bfloat16)
-    y = lax.dot_general(x.astype(jnp.bfloat16), w,
-                        (((x.ndim - 1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+    """int4-stored matmul. With the precomputed ``scale8`` present (all
+    round-3+ trees): W4A8 — requantize weights to int8 on the fly and run
+    the 2x-rate int8 MXU dot with per-token int8 activations, exactly the
+    W8A8 execution path. Legacy trees without scale8 fall back to
+    weight-only dequant-to-bf16."""
+    if "scale8" in p:
+        w8 = _requantize_int4_to_int8(p)
+        x8, sx = quantize_activations(x)
+        acc = lax.dot_general(x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sx * p["scale8"].astype(jnp.float32)
+    else:
+        w = dequantize_int4(p, dtype=jnp.bfloat16)
+        y = lax.dot_general(x.astype(jnp.bfloat16), w,
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(out_dtype or x.dtype)
@@ -172,14 +221,22 @@ def _default_pred(path: str) -> bool:
 
 
 def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None,
-                  int4_keys: tuple = (), int4_group: int = 128):
+                  int4_keys: tuple = (), int4_group: int = 128,
+                  downcast_adaln: bool = True):
     """Recursively convert dense param dicts whose '/'-joined dict path
     matches `predicate` (default: the big attention/FFN matmuls, excluding
     the fp32 time-embedding/head islands). Norms, adaLN, embeddings, and
     output heads stay unquantized. Matched leaves whose final path key is
     in ``int4_keys`` (or all of them, int4_keys=("*",)) get weight-only
     int4 instead of W8A8 — the capacity mode for models whose int8
-    footprint exceeds HBM (Wan-14B i2v)."""
+    footprint exceeds HBM (Wan-14B i2v).
+
+    ``downcast_adaln`` (serving-build capacity lever, on by default):
+    additionally store per-BLOCK adaLN dense weights as bf16 — never the
+    non-scanned ``_EXCLUDE_PATHS`` islands (``final``/head/time embeds),
+    which stay true fp32 like the reference's FinalLayer_FP32. Pass False
+    to leave every adaLN weight untouched (e.g. custom-predicate callers
+    quantizing a sub-tree)."""
     pred = predicate or _default_pred
 
     def walk(node, path=""):
@@ -192,15 +249,22 @@ def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None,
                 if int4_ok and ("*" in int4_keys or leaf in int4_keys):
                     return quantize_dense_int4(node, group=int4_group)
                 return quantize_dense(node)
-            if "w" in node and not isinstance(node["w"], dict) \
-                    and path.split("/")[-1].endswith("adaln"):
-                # adaLN dense weights: bf16 STORAGE in serving builds (the
-                # reference runs this Linear in bf16 too). Kept fp32 they
-                # cost LongCat ~2.4 GB of arguments plus a 1.12 GB hoisted
-                # bf16-split temp (fp32 dots lower to bf16 MXU passes and
-                # XLA hoists the loop-invariant weight split out of the
-                # layer scan) — measured as the largest allocation in the
-                # 48-layer OOM. P.dense runs bf16-in/fp32-accum on these.
+            if (downcast_adaln
+                    and "w" in node and not isinstance(node["w"], dict)
+                    and path.split("/")[-1].endswith("adaln")
+                    and not any(p in _EXCLUDE_PATHS for p in path.split("/"))):
+                # Per-block adaLN dense weights: bf16 STORAGE in serving
+                # builds — a recorded TPU deviation (docs/COMPONENTS.md):
+                # the reference runs adaLN as a true fp32 Linear under
+                # autocast(float32) (longcat_video_dit.py:82-85). Kept fp32
+                # they cost LongCat ~2.4 GB of arguments plus a 1.12 GB
+                # hoisted bf16-split temp (fp32 dots lower to bf16 MXU
+                # passes and XLA hoists the loop-invariant weight split out
+                # of the layer scan) — measured as the largest allocation in
+                # the 48-layer OOM. P.dense keeps the fp32 INPUT precision
+                # via a two-term bf16 activation split (core/params.py).
+                # The non-scanned `final`/head islands are excluded above —
+                # no hoist problem there, ~16 MB, reference-exact fp32.
                 out = dict(node)
                 out["w"] = node["w"].astype(jnp.bfloat16)
                 return out
