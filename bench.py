@@ -14,11 +14,12 @@ scan-over-layers forward — scripts/probe_full_model_int8.py --phase a).
 
 vs_baseline: the A100 reference has no published WorldForge throughput
 (SURVEY.md §6); we report vs an estimated A100 structural baseline of
-50 steps x 2 CFG x ~5.5 s/fwd(14B, 20k tokens, A100 ~300 TFLOP/s bf16
-at 40% MFU) ≈ 0.09 frames/sec. 40% inference MFU is generous to the A100
-(unoptimized reference torch inference typically lands lower), so this
-baseline is an upper bound on the reference's speed — updated when a real
-A100 number exists.
+50 steps x 2 CFG x ~5.5 s/fwd (14B, 20k tokens) ≈ 0.089 frames/sec.
+Provenance (BASELINE.md "A100 baseline provenance"): the MFU assumption is
+anchored to the one published Wan2.1 throughput datum — T2V-1.3B ≈ 4 min
+for a 5 s 480p clip on an RTX 4090 (Wan2.1 README / arXiv:2503.20314) —
+whose implied MFU band puts the A100 14B forward at 0.065-0.084 fps;
+0.089 sits above the band, i.e. generous to the A100.
 """
 
 import json
@@ -31,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-A100_BASELINE_FPS = 0.089  # structural estimate, see module docstring
+A100_BASELINE_FPS = 0.089  # anchored estimate: BASELINE.md "provenance"
 
 
 def _sync(x):

@@ -166,11 +166,27 @@ def phase_i2v_w4():
     _run_full(cfg, params, "14B-i2v-ffn4")
 
 
+def phase_i2v_w4all():
+    """All-int4 i2v build (~8 GB blocks): the capacity point that leaves
+    room for the streaming VAE to coexist (the guided e2e requirement)."""
+    from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit_w4
+
+    cfg = WanDiTConfig.wan_14b_i2v()
+    t0 = time.perf_counter()
+    params = init_wan_dit_w4(jax.random.key(3), cfg, dtype=jnp.bfloat16,
+                             int4_keys=("*",))
+    _sync(params["blocks"]["ffn"]["fc1"]["w4"])
+    print(f"layerwise all-w4 init: {time.perf_counter()-t0:.1f} s")
+    _mem("post-init-14B-i2v-w4all")
+    _run_full(cfg, params, "14B-i2v-all4")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["a", "b", "i2v", "i2v_w4"],
+    ap.add_argument("--phase", choices=["a", "b", "i2v", "i2v_w4",
+                                        "i2v_w4all"],
                     required=True)
     args = ap.parse_args()
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
     {"a": phase_a, "b": phase_b, "i2v": phase_i2v,
-     "i2v_w4": phase_i2v_w4}[args.phase]()
+     "i2v_w4": phase_i2v_w4, "i2v_w4all": phase_i2v_w4all}[args.phase]()
