@@ -2,15 +2,18 @@
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 North-star metric (BASELINE.json): frames/sec/chip for Wan2.1-14B 480p,
-50-step denoise. Default mode measures the FULL 40-layer 14B model on chip
-in the W8A8 int8 serving configuration (weights 14.05 GB, built layer-by-
-layer on device by init_wan_dit_int8 — bf16 stacked weights at 28 GB cannot
-even be materialized on a 16 GB v5e to quantize from). The int8 path is
-quality-gated end-to-end in tests/test_int8_quality.py. Set
-BENCH_MODE=bf16_layer for the round-1 bf16 layer-extrapolated metric
-(full bf16 does not fit HBM; extrapolation measured conservative: a
-standalone layer times 1.18x slower than the same layer inside the full
-scan-over-layers forward — scripts/probe_full_model_int8.py --phase a).
+50-step denoise. Default mode measures the FULL 40-layer 14B **i2v** model
+(the WorldForge flagship, wan_i2v_14B.py:27-36 — carries the k_img/v_img
+CLIP branch, ~16.4B params) on chip in the mixed serving configuration
+that fits 16 GB: FFN weights int4 (W4A8 — requantized to int8 on the fly
+and run on the 2x-rate int8 MXU path), W8A8 everywhere else, built layer-
+by-layer on device by init_wan_dit_w4 (bf16 stacked weights at ~33 GB can
+never be materialized on a v5e to quantize from). Quality-gated end-to-end
+in tests/test_int4_quality.py (measured guided drift 1.9%, gated 4%).
+BENCH_MODE=int8_full measures the t2v variant in all-int8 W8A8 (the round-2
+default; t2v fits int8, i2v does not). BENCH_MODE=bf16_layer gives the
+round-1 bf16 layer-extrapolated metric (full bf16 does not fit HBM;
+extrapolation measured conservative — probe_full_model_int8.py --phase a).
 
 vs_baseline: the A100 reference has no published WorldForge throughput
 (SURVEY.md §6); we report vs an estimated A100 structural baseline of
@@ -43,22 +46,38 @@ def _sync(x):
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def bench_wan_14b_int8_full():
-    """Measured full-model step: 40-layer Wan-14B t2v, W8A8, 480p x 49f."""
+def bench_wan_14b_full(mode: str = "i2v_w4"):
+    """Measured full-model step, 40 layers, 480p x 49f on chip.
+
+    mode "i2v_w4": the i2v flagship, FFN int4 (W4A8) + W8A8 elsewhere
+    (~13.6 GB — the only way i2v fits a 16 GB v5e).
+    mode "int8_full": the t2v variant, all-W8A8 (14.05 GB)."""
     from worldforge_tpu.models.wan.dit import (WanDiTConfig,
                                                init_wan_dit_int8,
+                                               init_wan_dit_w4,
                                                wan_dit_forward)
 
-    cfg = WanDiTConfig(model_type="t2v", in_dim=16)  # 14B dims, no img branch
     f, hh, ww = 13, 60, 104      # 480p x 49 frames latents
     key = jax.random.key(0)
-    params = init_wan_dit_int8(key, cfg, dtype=jnp.bfloat16)
-    _sync(params["blocks"]["ffn"]["fc1"]["w8"])
+    if mode == "i2v_w4":
+        cfg = WanDiTConfig.wan_14b_i2v()
+        params = init_wan_dit_w4(key, cfg, dtype=jnp.bfloat16)
+        _sync(params["blocks"]["ffn"]["fc1"]["w4"])
+    else:
+        cfg = WanDiTConfig(model_type="t2v", in_dim=16)  # 14B, no img branch
+        params = init_wan_dit_int8(key, cfg, dtype=jnp.bfloat16)
+        _sync(params["blocks"]["ffn"]["fc1"]["w8"])
 
     x = jax.random.normal(key, (1, 16, f, hh, ww), jnp.bfloat16)
     t = jnp.asarray([500.0], jnp.float32)
     ctx = jax.random.normal(key, (1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
-    step = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg, x, t, c))
+    extra = {}
+    if cfg.model_type == "i2v":
+        extra["clip_fea"] = jax.random.normal(key, (1, 257, cfg.clip_dim),
+                                              jnp.bfloat16)
+        extra["y"] = jax.random.normal(key, (1, 20, f, hh, ww), jnp.bfloat16)
+    step = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg, x, t, c,
+                                                      **extra))
     out = step(params, x, t, ctx)
     _sync(out)
     best = float("inf")          # best of 3 rounds (tunnel timing jitter ~5%)
@@ -132,20 +151,24 @@ def bench_attention_only():
 
 
 def main():
-    mode = os.environ.get("BENCH_MODE", "int8_full")
-    if mode == "int8_full":
+    mode = os.environ.get("BENCH_MODE", "i2v_w4")
+    if mode in ("i2v_w4", "int8_full"):
+        labels = {
+            "i2v_w4": "i2v (flagship), int4-FFN W4A8 serving",
+            "int8_full": "t2v, int8 W8A8 serving",
+        }
         try:
-            fps = bench_wan_14b_int8_full()
+            fps = bench_wan_14b_full(mode)
             print(json.dumps({
-                "metric": "frames/sec/chip (Wan2.1-14B 480p, 50 steps, "
-                          "int8 serving, measured full model)",
+                "metric": f"frames/sec/chip (Wan2.1-14B {labels[mode]}, "
+                          "480p, 50 steps, measured full model)",
                 "value": round(fps, 4),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
             }))
             return
         except Exception as e:  # OOM / compile flake: fall back to layer mode
-            print(f"full-model int8 bench failed ({type(e).__name__}), "
+            print(f"full-model bench failed ({type(e).__name__}), "
                   f"falling back to layer extrapolation", file=sys.stderr)
     try:
         fps = bench_wan_dit_480p()

@@ -315,3 +315,176 @@ def test_make_extractors_combo(rng):
     # default fallback
     assert set(make_extractors("nope", 16,
                                aliked_cfg=ALIKEDConfig.tiny())) == {"aliked"}
+
+# ----------------------------------------- scalar numpy oracles (round 3)
+# Independent scalar-loop re-derivations of the deformable-sampling / SDDH
+# / DKD math, written straight from the documented semantics (torchvision
+# deform_conv2d offset layout: (dy, dx) pairs per kernel tap, k = ky*K+kx;
+# ALIKED SDDH/DKD equations, arXiv:2304.03608 §3). These catch exactly the
+# class of bug the frozen manifest cannot: a transposed offset pair, a
+# kernel-tap-order slip, or a bad reshape in the vectorized JAX path.
+# (lightglue/torchvision are absent in-image, so the oracle is hand-scalar
+# rather than the upstream torch module — see the module docstring.)
+
+
+def _bilin_np(img, y, x, zero_pad=True):
+    import math as _m
+    hh, ww = img.shape[:2]
+    y0, x0 = _m.floor(y), _m.floor(x)
+    wy, wx = y - y0, x - x0
+    acc = np.zeros(img.shape[-1], np.float64)
+    for yi, xi, wgt in ((y0, x0, (1 - wy) * (1 - wx)),
+                        (y0, x0 + 1, (1 - wy) * wx),
+                        (y0 + 1, x0, wy * (1 - wx)),
+                        (y0 + 1, x0 + 1, wy * wx)):
+        if 0 <= yi < hh and 0 <= xi < ww:
+            acc += wgt * img[yi, xi]
+        elif not zero_pad:
+            acc += wgt * img[min(max(yi, 0), hh - 1),
+                             min(max(xi, 0), ww - 1)]
+    return acc
+
+
+def _conv3_np(x, w, b):
+    hh, ww, _ = x.shape
+    xp = np.pad(x, ((1, 1), (1, 1), (0, 0)))
+    out = np.zeros((hh, ww, w.shape[-1]), np.float64)
+    for yy in range(hh):
+        for xx in range(ww):
+            out[yy, xx] = np.einsum("klc,klco->o",
+                                    xp[yy:yy + 3, xx:xx + 3], w) + b
+    return out
+
+
+def test_deform_conv_matches_scalar_oracle(rng):
+    """Spatially-varying random offsets through the full deformable path
+    vs a scalar-loop oracle: out[y,x,o] = sum_k w[ky,kx,:,o] . bilin(x,
+    y+ky-1+off[y,x,2k], x+kx-1+off[y,x,2k+1]). A dy/dx transposition or
+    tap-order slip in the vmap'd gather fails this immediately."""
+    cin, cout, hh, ww = 3, 4, 8, 10
+    x = rng.standard_normal((hh, ww, cin)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, cin, cout)) * 0.2).astype(np.float32)
+    ow = (rng.standard_normal((3, 3, cin, 18)) * 0.4).astype(np.float32)
+    ob = rng.standard_normal(18).astype(np.float32)
+    off = np.clip(_conv3_np(x, ow, ob), -max(hh, ww) / 4, max(hh, ww) / 4)
+
+    want = np.zeros((hh, ww, cout), np.float64)
+    for yy in range(hh):
+        for xx in range(ww):
+            for ky in range(3):
+                for kx in range(3):
+                    kk = ky * 3 + kx
+                    v = _bilin_np(x, yy + ky - 1 + off[yy, xx, 2 * kk],
+                                  xx + kx - 1 + off[yy, xx, 2 * kk + 1])
+                    want[yy, xx] += v @ w[ky, kx]
+
+    p = {"offset": {"w": jnp.asarray(ow), "b": jnp.asarray(ob)},
+         "w": jnp.asarray(w)}
+    got = np.asarray(_deform_conv(p, jnp.asarray(x)[None]))[0]
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_sddh_matches_scalar_oracle(rng):
+    """Per-keypoint scalar walk of the SDDH pipeline (patch -> offset head
+    -> SELU -> deformable samples -> sf_conv -> convM -> L2) vs the vmap'd
+    implementation, fractional keypoints included."""
+    cfg = ALIKEDConfig.tiny(max_num_keypoints=4)
+    params = init_aliked(jax.random.key(5), cfg)
+    p = params["desc_head"]
+    hh, ww, c = 12, 16, cfg.dim
+    fm = rng.standard_normal((hh, ww, c)).astype(np.float32)
+    kp = np.asarray([[3.4, 7.9], [0.0, 0.0], [15.0, 11.0], [8.6, 2.2]],
+                    np.float32)                        # (x, y)
+
+    got = np.asarray(sddh_describe(params, cfg,
+                                   jnp.asarray(fm)[None],
+                                   jnp.asarray(kp)[None]))[0]
+
+    def selu(v):
+        a, s = 1.6732632423543772, 1.0507009873554805
+        return np.where(v > 0, s * v, s * a * (np.expm1(v)))
+
+    w1 = np.asarray(p["offset_conv1"]["w"], np.float64)
+    b1 = np.asarray(p["offset_conv1"]["b"], np.float64)
+    w2 = np.asarray(p["offset_conv2"]["w"], np.float64)[0, 0]
+    b2 = np.asarray(p["offset_conv2"]["b"], np.float64)
+    sf = np.asarray(p["sf_conv"]["w"], np.float64)[0, 0]
+    cm = np.asarray(p["convM"]["w"], np.float64)[0, 0]
+    r = cfg.kernel_size // 2
+    mo = max(hh, ww) / 4.0
+    want = np.zeros((len(kp), cfg.dim))
+    for n, (kx_, ky_) in enumerate(kp):
+        ix = min(max(int(kx_), 0), ww - 1)
+        iy = min(max(int(ky_), 0), hh - 1)
+        kk = cfg.kernel_size
+        patch = np.zeros((kk, kk, c))
+        for a in range(-r, r + 1):
+            for b_ in range(-r, r + 1):
+                patch[a + r, b_ + r] = fm[min(max(iy + a, 0), hh - 1),
+                                          min(max(ix + b_, 0), ww - 1)]
+        off = selu(np.einsum("klc,klco->o", patch, w1) + b1)
+        off = np.clip(off @ w2 + b2, -mo, mo).reshape(cfg.n_pos, 2)
+        samp = np.stack([_bilin_np(fm, ky_ + o[1], kx_ + o[0])
+                         for o in off])                 # [M, C] (dx, dy)
+        samp = selu(samp @ sf)
+        desc = samp.reshape(-1) @ cm
+        want[n] = desc / max(np.linalg.norm(desc), 1e-12)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_dkd_matches_scalar_oracle(rng):
+    """Whole DKD on a random smooth score map vs a scalar oracle: iterated
+    max-pool NMS, border/threshold mask, descending-top-k (stable ties),
+    5x5 T=0.1 soft-argmax, bilinear rescoring at the refined point."""
+    from scipy.ndimage import gaussian_filter
+
+    hh, ww = 16, 16
+    score = gaussian_filter(rng.uniform(0, 1, (hh, ww)), 1.2)
+    score = ((score - score.min()) / (score.max() - score.min())) \
+        .astype(np.float32)
+    cfg = ALIKEDConfig.tiny(max_num_keypoints=8, detection_threshold=0.7)
+    got_k, got_s = dkd_detect(jnp.asarray(score)[None], cfg)
+    got_k, got_s = np.asarray(got_k[0]), np.asarray(got_s[0])
+
+    r = cfg.nms_radius
+
+    def maxpool(a):
+        out = np.empty_like(a)
+        for y in range(hh):
+            for x in range(ww):
+                out[y, x] = a[max(0, y - r):y + r + 1,
+                              max(0, x - r):x + r + 1].max()
+        return out
+
+    nms = np.where(score == maxpool(score), score, 0.0)
+    max_mask = nms > 0
+    for _ in range(2):
+        supp = maxpool(max_mask.astype(np.float32)) > 0
+        ss = np.where(supp, 0.0, score)
+        max_mask = max_mask | ((ss == maxpool(ss)) & ~supp)
+    nms = np.where(max_mask, score, 0.0)
+    nms[:r], nms[-r:], nms[:, :r], nms[:, -r:] = 0, 0, 0, 0
+    th = (cfg.detection_threshold
+          if (nms > cfg.detection_threshold).any() else score.mean())
+    masked = np.where(nms > th, nms, -1.0).ravel()
+    order = np.argsort(-masked, kind="stable")[:cfg.max_num_keypoints]
+    want_k, want_s = [], []
+    for idx in order:
+        if masked[idx] <= 0:
+            want_k.append((-1.0, -1.0)); want_s.append(-1.0); continue
+        iy, ix = divmod(int(idx), ww)
+        taps, dys, dxs = [], [], []
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                taps.append(score[min(max(iy + dy, 0), hh - 1),
+                                  min(max(ix + dx, 0), ww - 1)])
+                dys.append(dy); dxs.append(dx)
+        taps = np.asarray(taps, np.float64)
+        e = np.exp((taps - taps.max()) / 0.1)
+        ky = iy + (e * dys).sum() / e.sum()
+        kx = ix + (e * dxs).sum() / e.sum()
+        want_k.append((kx, ky))
+        want_s.append(_bilin_np(score[..., None], ky, kx,
+                                zero_pad=False)[0])
+    np.testing.assert_allclose(got_k, np.asarray(want_k), atol=1e-4)
+    np.testing.assert_allclose(got_s, np.asarray(want_s), atol=1e-4)

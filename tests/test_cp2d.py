@@ -47,6 +47,38 @@ def test_ulysses_2d_matches_reference(rng, sph, spw):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_wan_forward_cp2d_matches_single_device(rng):
+    """Full product model over the 2D (sp_h x sp_w) mesh == single-device
+    output. Exercises the grid-layout residual stream (the carry stays
+    [B, F, H', W', D] sharded between blocks — the round-3 fix for the
+    involuntary flat<->grid reshard per block), grid RoPE, the shard-local
+    cross-attention (incl. the i2v CLIP branch), and the sharded head."""
+    from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
+                                               wan_dit_forward)
+
+    cfg = WanDiTConfig(model_type="i2v", in_dim=8, out_dim=4, dim=64,
+                       ffn_dim=128, num_heads=4, num_layers=2, text_len=16,
+                       text_dim=32, freq_dim=16, clip_dim=64)
+    params = init_wan_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    b, f, hh, ww = 1, 3, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, 4, f, hh, ww)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, 4, f, hh, ww)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    clip_fea = jnp.asarray(rng.standard_normal((b, 257, cfg.clip_dim)),
+                           jnp.float32)
+
+    ref = wan_dit_forward(params, cfg, x, t, ctx, clip_fea=clip_fea, y=y)
+    mesh = make_mesh_2d(dp=1, fsdp=2, sp_h=2, sp_w=2)
+    with mesh:
+        out = jax.jit(lambda p, x, y: wan_dit_forward(
+            p, cfg, x, t, ctx, clip_fea=clip_fea, y=y, mesh=mesh))(
+                params, x, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_rope_cp_offsets_match_full_table():
     """Per-shard RoPE via h/w offsets == slices of the full table (the
     reference shards precomputed freqs, rope_3d.py:91-96)."""

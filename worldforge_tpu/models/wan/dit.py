@@ -245,8 +245,25 @@ def sinusoidal_embedding_1d(dim: int, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _heads(x, h):
-    b, s, d = x.shape
-    return x.reshape(b, s, h, d // h)
+    """Split the feature dim into heads: [..., D] -> [..., h, D/h]."""
+    return x.reshape(x.shape[:-1] + (h, x.shape[-1] // h))
+
+
+def _apply_rope_grid(x, cos, sin, grid3d, out_dtype=None):
+    """RoPE on the spatial-grid view: x [B, F, H', W', h, d] with flat
+    per-token tables cos/sin [F*H'*W', d/2] reshaped to the grid. Pure
+    elementwise — under a (sp_h, sp_w)-sharded x the replicated tables are
+    sliced by GSPMD with no collective; numerics identical to apply_rope on
+    the flattened sequence (ops/rope.py:78-95)."""
+    odtype = out_dtype or x.dtype
+    b, f, gh, gw, h, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, f, gh, gw, h, d // 2, 2)
+    xe, xo = xf[..., 0], xf[..., 1]
+    c = cos.reshape(f, gh, gw, 1, d // 2)[None]
+    si = sin.reshape(f, gh, gw, 1, d // 2)[None]
+    ye = xe * c - xo * si
+    yo = xe * si + xo * c
+    return jnp.stack([ye, yo], axis=-1).reshape(x.shape).astype(odtype)
 
 
 def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
@@ -270,20 +287,21 @@ def _self_attention(p, cfg: WanDiTConfig, x, cos, sin, policy: Policy,
         k = P.rms_norm(p["norm_k"], P.dense(p["k"], xq), eps=cfg.eps)
         v = P.dense(p["v"], xq)
     h = cfg.num_heads
-    q, k = apply_rope_qk(_heads(q, h), _heads(k, h), cos, sin)
-    sp2 = (mesh.shape.get("sp_h", 1) * mesh.shape.get("sp_w", 1)
-           if mesh is not None else 1)
-    if sp2 > 1 and grid3d is not None:
-        # 2D H x W context parallelism (xDiT's 2D USP analog): heads
-        # scatter over BOTH spatial mesh axes (parallel/cp2d.py)
+    if x.ndim == 5:
+        # 2D H x W context parallelism (xDiT's 2D USP analog): the stream
+        # stays in its sharded [B, F, H', W', D] grid layout end to end —
+        # heads-split and RoPE are local elementwise ops on that layout, and
+        # attention scatters heads over BOTH spatial mesh axes
+        # (parallel/cp2d.py). No flat<->grid reshape ever touches the
+        # sharded token dims, so GSPMD never reshards between blocks.
         from worldforge_tpu.parallel.cp2d import ulysses_attention_2d
-        b = x.shape[0]
-        f, gh, gw = grid3d
-        to6 = lambda a: a.reshape(b, f, gh, gw, h, cfg.head_dim)
-        o = ulysses_attention_2d(to6(q), to6(k), to6(_heads(v, h)),
-                                 mesh=mesh, impl=attn_impl)
-        o = o.reshape(b, f * gh * gw, h, cfg.head_dim)
-    elif mesh is not None and mesh.shape.get("sp", 1) > 1:
+        q = _apply_rope_grid(_heads(q, h), cos, sin, grid3d)
+        k = _apply_rope_grid(_heads(k, h), cos, sin, grid3d)
+        o = ulysses_attention_2d(q, k, _heads(v, h), mesh=mesh,
+                                 impl=attn_impl)
+        return P.dense(p["o"], o.reshape(x.shape[:-1] + (cfg.dim,)))
+    q, k = apply_rope_qk(_heads(q, h), _heads(k, h), cos, sin)
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
         from worldforge_tpu.parallel.ulysses import ulysses_attention
         o = ulysses_attention(q, k, _heads(v, h), mesh=mesh, impl=attn_impl)
     else:
@@ -300,7 +318,13 @@ def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
     ctx = context.astype(cdt)
     h = cfg.num_heads
 
-    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+    if x.ndim == 5:
+        # 2D-CP grid layout: per-token cross-attn to replicated text/CLIP
+        # context runs shard-locally with zero collectives
+        from worldforge_tpu.parallel.cp2d import cross_attention_2d
+        attn_fn = lambda q, k, v: cross_attention_2d(q, k, v, mesh=mesh,
+                                                     impl=attn_impl)
+    elif mesh is not None and mesh.shape.get("sp", 1) > 1:
         from worldforge_tpu.parallel.ulysses import (
             sequence_local_cross_attention as xattn)
         attn_fn = lambda q, k, v: xattn(q, k, v, mesh=mesh, impl=attn_impl)
@@ -320,7 +344,7 @@ def _cross_attention(p, cfg: WanDiTConfig, x, context, img_ctx_len: int,
                                 eps=cfg.eps), h)
         v_i = _heads(P.dense(p["v_img"], ctx_img), h)
         o = o + attn_fn(q, k_i, v_i)
-    o = o.reshape(x.shape[0], x.shape[1], cfg.dim)
+    o = o.reshape(x.shape[:-1] + (cfg.dim,))
     return P.dense(p["o"], o)
 
 
@@ -350,10 +374,13 @@ def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
                           img_ctx_len: int = 0,
                           policy: Policy = DEFAULT_POLICY,
                           attn_impl: str = "auto", mesh=None, grid3d=None):
-    """One WanAttentionBlock. x: [B, L, dim] (fp32 residual stream),
-    e0: [B, 6, dim] fp32, context: [B, Lc, dim]."""
+    """One WanAttentionBlock. x: [B, L, dim] (fp32 residual stream) — or
+    [B, F, H', W', dim] under 2D-CP, where the stream keeps its sharded grid
+    layout between blocks. e0: [B, 6, dim] fp32, context: [B, Lc, dim]."""
     mod = (p["modulation"].astype(jnp.float32) + e0.astype(jnp.float32))
-    sh_sa, sc_sa, g_sa, sh_ff, sc_ff, g_ff = [mod[:, i:i + 1] for i in range(6)]
+    bcast = (mod.shape[0],) + (1,) * (x.ndim - 2) + (mod.shape[-1],)
+    sh_sa, sc_sa, g_sa, sh_ff, sc_ff, g_ff = [
+        mod[:, i].reshape(bcast) for i in range(6)]
 
     xf = x.astype(jnp.float32)
     h1 = _modulated_ln(xf, sc_sa, sh_sa, cfg.eps, policy.compute_dtype,
@@ -421,15 +448,27 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
     f, hh, ww = grid
 
     tokens = patchify(x.astype(policy.compute_dtype), cfg.patch_size)
-    h0 = P.dense(params["patch_embedding"], tokens,
-                 compute_dtype=policy.compute_dtype)
-    if mesh is not None and mesh.size > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as PS
-        if mesh.shape.get("sp_h", 1) * mesh.shape.get("sp_w", 1) > 1:
-            from worldforge_tpu.parallel.cp2d import split_cp_2d
-            h5 = h0.reshape(b, f, hh, ww, -1)
-            h0 = split_cp_2d(h5, mesh).reshape(h0.shape)
-        elif "sp" in mesh.axis_names:
+    use_cp2d = (mesh is not None
+                and mesh.shape.get("sp_h", 1) * mesh.shape.get("sp_w", 1) > 1)
+    if use_cp2d:
+        # enter the [B, F, H', W', D] grid layout BEFORE the embed dense:
+        # tokens are still replicated here, so the reshape is free and the
+        # grid constraint is a plain partition; the dense output then only
+        # needs a per-shard feature all-gather (its weight is FSDP-sharded)
+        # — every transition is a single-axis reshard, and the residual
+        # stream stays in this layout for the whole scan (split after embed
+        # / gather before unpatchify, longcat_video_dit.py:329-332,359-360),
+        # so XLA never involuntarily rematerializes a flat<->grid reshard
+        from worldforge_tpu.parallel.cp2d import split_cp_2d
+        tokens = split_cp_2d(tokens.reshape(b, f, hh, ww, -1), mesh)
+        h0 = split_cp_2d(P.dense(params["patch_embedding"], tokens,
+                                 compute_dtype=policy.compute_dtype), mesh)
+    else:
+        h0 = P.dense(params["patch_embedding"], tokens,
+                     compute_dtype=policy.compute_dtype)
+        if (mesh is not None and mesh.size > 1
+                and "sp" in mesh.axis_names):
+            from jax.sharding import NamedSharding, PartitionSpec as PS
             h0 = jax.lax.with_sharding_constraint(
                 h0, NamedSharding(mesh, PS("dp", "sp", None)))
 
@@ -467,16 +506,27 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
         out = wan_dit_layer_forward(layer, cfg, carry, e0, ctx, cos, sin,
                                     img_ctx_len, policy, attn_impl, mesh,
                                     grid)
+        if use_cp2d:
+            # re-assert the grid sharding on the carry (a no-op reshard:
+            # every op in the layer preserved it) so GSPMD cannot pick a
+            # different layout for the scan carry
+            from worldforge_tpu.parallel.cp2d import split_cp_2d
+            out = split_cp_2d(out, mesh)
         return out, None
 
     if remat:
         body = jax.checkpoint(body)
     hN, _ = jax.lax.scan(body, h0.astype(jnp.float32), params["blocks"])
 
-    # head (model.py:337-347)
+    # head (model.py:337-347) — per-token ops: under 2D-CP they run on the
+    # still-sharded grid layout; the single gather happens after the head
     hm = params["head"]["modulation"].astype(jnp.float32) + e[:, None]
-    sh, sc = hm[:, 0:1], hm[:, 1:2]
+    bcast = (b,) + (1,) * (hN.ndim - 2) + (cfg.dim,)
+    sh, sc = hm[:, 0].reshape(bcast), hm[:, 1].reshape(bcast)
     hN = P.layer_norm({}, hN, eps=cfg.eps, out_dtype=jnp.float32)
     hN = hN * (1.0 + sc) + sh
     out = P.dense(params["head"]["head"], hN, compute_dtype=jnp.float32)
+    if use_cp2d:
+        from worldforge_tpu.parallel.cp2d import gather_cp_2d
+        out = gather_cp_2d(out, mesh).reshape(b, f * hh * ww, -1)
     return unpatchify(out, grid, cfg.patch_size, cfg.out_dim).astype(jnp.float32)

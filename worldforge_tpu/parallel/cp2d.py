@@ -107,3 +107,22 @@ def ulysses_attention_2d(q, k, v, *, mesh: Mesh, impl: str = "auto"):
 
     return shard_map(inner, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec, check_vma=False)(q, k, v)
+
+
+def cross_attention_2d(q, k, v, *, mesh: Mesh, impl: str = "auto"):
+    """Cross-attention with 2D-spatially-sharded queries: q [B, T, H, W, nh,
+    D] sharded (sp_h, sp_w) on (H, W); k/v [B, Lc, nh, D] replicated (text/
+    CLIP context). Each token attends independently to the full context, so
+    every shard runs plain attention on its local tokens — zero collectives
+    (the reference computes cross-attn on the CP-split stream the same way,
+    longcat blocks.py:68-124). Exact vs attending from the gathered stream."""
+    qspec = P(AXIS_DP, None, AXIS_SP_H, AXIS_SP_W, None, None)
+    kvspec = P(AXIS_DP, None, None, None)
+
+    def inner(ql, kl, vl):
+        b, t, hl, wl, nh, d = ql.shape
+        o = attention(ql.reshape(b, t * hl * wl, nh, d), kl, vl, impl=impl)
+        return o.reshape(ql.shape)
+
+    return shard_map(inner, mesh=mesh, in_specs=(qspec, kvspec, kvspec),
+                     out_specs=qspec, check_vma=False)(q, k, v)

@@ -10,10 +10,11 @@ Three phases, all through the product entry points:
      the same mesh — block-sparse attention through the ring-CP path.
   3. wan_dit_forward over a 2D (sp_h x sp_w) mesh — the xDiT-style 2D
      spatial context parallelism (parallel/cp2d.py) in the product model.
-     (XLA logs involuntary-remat warnings here: the flat [B,S,D] residual
-     stream between layers reshards into the 6-D spatial view per block.
-     Capability-parity path; 1D Ulysses is the serving default — keeping
-     the stream 5-D under 2D CP is the perf follow-up for real pods.)
+     (Round 3: the residual stream now stays in its sharded [B,F,H',W',D]
+     grid layout for the whole scan — tokens enter the grid before the
+     embed dense, attention/RoPE/head all operate on the grid view — so
+     this phase compiles with ZERO involuntary-remat warnings; parity vs
+     single-device asserted in tests/test_cp2d.py.)
 """
 
 from __future__ import annotations
