@@ -26,6 +26,7 @@ Run from /root/repo with no JAX_PLATFORMS overrides:
 """
 
 import argparse
+import gc
 import os
 import sys
 import time
@@ -48,6 +49,11 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--phase-only", action="store_true",
                     help="measure the per-phase costs, skip the full clip")
+    ap.add_argument("--bf16-vae", action="store_true",
+                    help="bf16 VAE params (halves VAE activation temps; "
+                         "fallback if the fp32 fuse OOMs next to the DiT — "
+                         "the reference runs the VAE fp32, so this is a "
+                         "documented deviation when used)")
     args = ap.parse_args()
 
     from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit_w4
@@ -68,13 +74,14 @@ def main():
 
     vae_cfg = WanVAEConfig.wan_2_1()
     t0 = time.perf_counter()
-    vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=jnp.float32)
+    vae_dtype = jnp.bfloat16 if args.bf16_vae else jnp.float32
+    vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=vae_dtype)
     _sync(vae_params)
-    print(f"[2] fp32 VAE resident alongside: {time.perf_counter()-t0:.0f} s",
-          flush=True)
+    print(f"[2] {'bf16' if args.bf16_vae else 'fp32'} VAE resident "
+          f"alongside: {time.perf_counter()-t0:.0f} s", flush=True)
 
     pipe = WanI2VPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
-                          streaming_vae=True)
+                          streaming_vae=True, auto_layout=True)
 
     h, w, nf = 480, 832, 49
     f_lat, h_lat, w_lat = 13, 60, 104
@@ -107,18 +114,51 @@ def main():
         _sync(out)
         return (time.perf_counter() - t0) / n
 
-    run_cfg, _ = pipe._dit_step
-    t_dit = timed(lambda: run_cfg(dit_params, lat, cond, jnp.float32(500.0),
-                                  pe, ne, ie, 4.0))
+    # AUTO entry layouts for the weights: without this XLA inserts ~5 GB of
+    # u8 layout copies for the int4 attention stacks and the program does
+    # not fit 16 GB next to the VAE (runtime/layouts.py; measured OOM
+    # post-mortem in the round-3 history of this file)
+    from worldforge_tpu.core.dtypes import DEFAULT_POLICY
+    from worldforge_tpu.models.wan.dit import wan_dit_forward
+    from worldforge_tpu.runtime.layouts import compile_auto_layouts
+
+    def dit_cfg_step(params, lat, cond, t, pe, ne, ie):
+        x = lat.astype(jnp.float32)
+        y = cond.astype(jnp.float32)
+        tb = jnp.broadcast_to(t, (lat.shape[0],))
+        pred = wan_dit_forward(params, dit_cfg, x, tb, pe, clip_fea=ie, y=y,
+                               policy=DEFAULT_POLICY)
+        unc = wan_dit_forward(params, dit_cfg, x, tb, ne, clip_fea=ie, y=y,
+                              policy=DEFAULT_POLICY)
+        return pred + 4.0 * (pred - unc)
+
+    step_args = (dit_params, lat, cond, jnp.float32(500.0), pe, ne, ie)
+    step_compiled, step_args = compile_auto_layouts(dit_cfg_step, step_args,
+                                                    auto_argnums=(0,))
+    dit_params = step_args[0]
+    pipe.dit_params = dit_params
+    t_dit = timed(lambda: step_compiled(*step_args))
     print(f"[3] DiT CFG step (2x 14B i2v all-int4 fwd): {t_dit:.2f} s",
           flush=True)
+    del step_compiled, step_args   # drop the step program before the VAE
+    gc.collect()
 
+    # each remaining phase is fault-tolerant: the fused clip below is the
+    # headline measurement and must run even if a standalone phase OOMs
+    # next to the resident weights (round-3 attempt 3 history: standalone
+    # streaming decode hit RESOURCE_EXHAUSTED with the DiT resident)
     dec, enc = pipe._vae_decode_fn(), pipe._vae_encode_fn()
-    t_dec = timed(lambda: dec(lat))
-    video_px = dec(lat)
-    t_enc = timed(lambda: enc(video_px))
-    print(f"[4] VAE fuse round-trip: decode {t_dec:.2f} s + "
-          f"encode {t_enc:.2f} s", flush=True)
+    t_dec = t_enc = float("nan")
+    try:
+        t_dec = timed(lambda: dec(lat))
+        video_px = dec(lat)
+        t_enc = timed(lambda: enc(video_px))
+        del video_px
+        print(f"[4] VAE fuse round-trip: decode {t_dec:.2f} s + "
+              f"encode {t_enc:.2f} s", flush=True)
+    except Exception as e:
+        print(f"[4] standalone VAE phase failed next to resident weights: "
+              f"{type(e).__name__} {str(e)[:200]}", flush=True)
 
     from worldforge_tpu.ops.flow import video_channel_flows_pair
     from worldforge_tpu.sampling.channel_select import _flow_similarity_scores
@@ -127,10 +167,17 @@ def main():
     def flf_batch(a, b):
         return _flow_similarity_scores(*video_channel_flows_pair(a, b))
 
-    lat2 = lat + 0.1
-    t_flf = timed(lambda: flf_batch(lat, lat2))
-    print(f"[5] FLF device Farneback batch (16ch x 2 x 12 pairs): "
-          f"{t_flf:.2f} s", flush=True)
+    t_flf = float("nan")
+    try:
+        lat2 = lat + 0.1
+        t_flf = timed(lambda: flf_batch(lat, lat2))
+        del lat2
+        print(f"[5] FLF device Farneback batch (16ch x 2 x 12 pairs): "
+              f"{t_flf:.2f} s", flush=True)
+    except Exception as e:
+        print(f"[5] FLF phase failed: {type(e).__name__} {str(e)[:200]}",
+              flush=True)
+    gc.collect()
 
     g = GuidanceConfig()  # reference production defaults: guided,
     # guide_steps=15, resample_steps=2, resample_round=20, omega=4, FLF on
@@ -157,16 +204,33 @@ def main():
     t_denoise = time.perf_counter() - t0
     print(f"[6] fused guided denoise, {args.steps} steps "
           f"(incl. compile): {t_denoise:.0f} s", flush=True)
+    lat_host = np.asarray(out_lat, np.float32)  # the result is safe now
 
-    t0 = time.perf_counter()
-    video = dec(out_lat)
-    out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
-    t_decode = time.perf_counter() - t0
-    print(f"[7] final streaming decode: {t_decode:.1f} s", flush=True)
+    t_decode = float("nan")
+    try:
+        t0 = time.perf_counter()
+        video = dec(jnp.asarray(lat_host))
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        print(f"[7] final streaming decode: {t_decode:.1f} s "
+              f"(clip {out.shape})", flush=True)
+    except Exception as e:
+        print(f"[7] final decode failed next to resident weights "
+              f"({type(e).__name__}) — drop the DiT and decode "
+              f"sequenced, as run_e2e_14b_int8.py does", flush=True)
+        pipe.dit_params = None
+        del dit_params
+        gc.collect()
+        t0 = time.perf_counter()
+        video = dec(jnp.asarray(lat_host))
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        print(f"[7b] sequenced decode: {t_decode:.1f} s (clip {out.shape})",
+              flush=True)
 
     total = time.perf_counter() - t_all
     t_clip = t_denoise + t_decode
-    print(f"GUIDED clip {out.shape}: denoise+decode {t_clip:.0f} s "
+    print(f"GUIDED clip: denoise+decode {t_clip:.0f} s "
           f"({nf / t_clip:.4f} fps incl. compile; structural steady-state "
           f"{est:.0f} s), total wall from empty chip {total:.0f} s")
 

@@ -1,0 +1,122 @@
+"""End-to-end PRODUCTION-SCALE **GUIDED LongCat** clip on one v5e — the
+fast WorldForge mode: LongCat-Video 13.6B, 480p x 49 frames, 16-step
+DISTILLED (cfg_step_lora semantics: CFG-free) flow-match schedule with the
+full guided state machine (IRR + FLF longcat schedule + DSG + VAE fuse).
+Reference: run_longcat_worldforge_single.py:211-214 (distill mode),
+pipeline_longcat_video.py:827-994 (guided i2v loop).
+
+Capacity: ALL-int4 W4A8 LongCat blocks (~6.8 GB, init_longcat_dit_w4) +
+fp32 VAE + streaming VAE encode/decode + AUTO weight layouts
+(runtime/layouts.py) so DiT+VAE coexist with room to spare.
+
+Random-init weights / random text embeds — measures wall-clock sec/clip
+for the guided serving path (quality is gated separately:
+tests/test_longcat_guided_drift.py, tests/test_int4_quality.py).
+
+Run from /root/repo with no JAX_PLATFORMS overrides:
+    python scripts/run_e2e_longcat_guided.py [--steps 16]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=16)
+    args = ap.parse_args()
+
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit_w4)
+    from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from worldforge_tpu.pipelines.longcat import LongCatPipeline
+    from worldforge_tpu.sampling.guidance import GuidanceConfig
+
+    t_all = time.perf_counter()
+    cfg = LongCatDiTConfig.longcat_13b()
+    key = jax.random.key(0)
+
+    t0 = time.perf_counter()
+    dit_params = init_longcat_dit_w4(key, cfg, dtype=jnp.bfloat16)
+    _sync(jax.tree_util.tree_leaves(dit_params["blocks"])[0])
+    print(f"[1] all-int4 13.6B LongCat resident: "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
+
+    vae_cfg = WanVAEConfig.wan_2_1()
+    t0 = time.perf_counter()
+    vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=jnp.float32)
+    _sync(vae_params)
+    print(f"[2] fp32 VAE resident alongside: {time.perf_counter()-t0:.0f} s",
+          flush=True)
+
+    pipe = LongCatPipeline(dit_params, cfg, vae_params, vae_cfg,
+                           streaming_vae=True, auto_layout=True)
+
+    h, w, nf = 480, 832, 49
+    image = jax.random.uniform(jax.random.key(2), (1, 3, h, w),
+                               jnp.float32) * 2.0 - 1.0
+    pe = jax.random.normal(jax.random.key(3), (1, 96, cfg.caption_channels),
+                           jnp.bfloat16)
+    pmask = jnp.ones((1, 96), jnp.float32)
+    video_ref = jax.random.uniform(jax.random.key(6), (1, 3, nf, h, w),
+                                   jnp.float32)
+    mask = (jax.random.uniform(jax.random.key(7), (1, 1, nf, h, w),
+                               jnp.float32) > 0.3).astype(jnp.float32)
+
+    g = GuidanceConfig(flf_backend="longcat")  # guided, guide_steps=15,
+    # resample_steps=2, omega=4, FLF on — the reference WF defaults
+    t0 = time.perf_counter()
+    out_lat = pipe.generate_i2v(
+        jax.random.key(10), image, pe, pmask, None, None, height=h, width=w,
+        num_frames=nf, num_inference_steps=args.steps, guidance_scale=1.0,
+        use_distill=True, video_ref=video_ref, mask=mask, guidance=g,
+        output_type="latent", fused=True)
+    _sync(out_lat)
+    t_denoise = time.perf_counter() - t0
+    print(f"[3] fused guided DISTILLED denoise, {args.steps} steps "
+          f"(incl. compile): {t_denoise:.0f} s", flush=True)
+
+    lat_host = np.asarray(out_lat, np.float32)
+    dec = pipe._vae_decode_fn()
+    try:
+        t0 = time.perf_counter()
+        video = dec(jnp.asarray(lat_host))
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        print(f"[4] final streaming decode: {t_decode:.1f} s", flush=True)
+    except Exception as e:
+        print(f"[4] decode next to weights failed ({type(e).__name__}) — "
+              f"sequencing", flush=True)
+        import gc
+        pipe.dit_params = None
+        del dit_params
+        gc.collect()
+        t0 = time.perf_counter()
+        video = dec(jnp.asarray(lat_host))
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        print(f"[4b] sequenced decode: {t_decode:.1f} s", flush=True)
+
+    total = time.perf_counter() - t_all
+    t_clip = t_denoise + t_decode
+    print(f"GUIDED LongCat distilled clip {out.shape}: denoise+decode "
+          f"{t_clip:.0f} s ({nf / t_clip:.4f} fps incl. compile), total "
+          f"wall from empty chip {total:.0f} s")
+
+
+if __name__ == "__main__":
+    main()

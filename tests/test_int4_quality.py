@@ -61,3 +61,47 @@ def test_w4_guided_pipeline_quality(int4_keys, bound):
     assert any(s for _, s in sel_fp), sel_fp
     drift = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-8)
     assert 0.0 < drift < bound, f"w4({int4_keys}) guided drift {drift:.3f}"
+
+
+@pytest.mark.parametrize("use_distill,bound", [
+    (True, 0.11),    # the distilled fast mode the all-int4 build targets;
+    #                  measured drift 0.087 (round 3) -> gate meas + margin
+    (False, 0.10),   # measured 0.076
+])
+def test_longcat_w4_guided_quality(use_distill, bound):
+    """LongCat all-int4 (W4A8) guided gate — the capacity build behind
+    scripts/run_e2e_longcat_guided.py (init_longcat_dit_w4, ~6.8 GB blocks
+    coexisting with the VAE). Mirrors test_longcat_int8_quality with the
+    int4 quantizer; gate set at measured drift + margin (record the
+    measured value in the assert message history when tightening)."""
+    from tests.test_longcat_int8_quality import SHAPE as LSHAPE
+    from tests.test_longcat_int8_quality import _run_guided as _run_lc
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit)
+
+    n_steps = 8
+    cfg = LongCatDiTConfig.tiny()
+    params = init_longcat_dit(jax.random.key(11), cfg, dtype=jnp.float32)
+    params_q = quantize_tree(params, int4_keys=("*",), int4_group=32)
+    assert "w4" in params_q["blocks"]["qkv"]
+
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal(LSHAPE).astype(np.float32)
+    nshape = (LSHAPE[0], LSHAPE[1], LSHAPE[2] - 1) + LSHAPE[3:]
+    noise_seq = [rng.standard_normal(nshape).astype(np.float32)
+                 for _ in range(n_steps * 2)]
+    vae = _StubVAE(LSHAPE[1], seed=99)
+    tgt = (LSHAPE[0], 3) + LSHAPE[2:]
+    video_pix = rng.uniform(0, 1, tgt).astype(np.float32)
+    mask_pix = (rng.uniform(0, 1, (LSHAPE[0], 1) + LSHAPE[2:]) > 0.5
+                ).astype(np.float32)
+
+    sel_fp, sel_q = [], []
+    out_fp = _run_lc(params, cfg, x0, list(noise_seq), vae, video_pix,
+                     mask_pix, sel_fp, use_distill, n_steps)
+    out_q = _run_lc(params_q, cfg, x0, list(noise_seq), vae, video_pix,
+                    mask_pix, sel_q, use_distill, n_steps)
+    assert sel_fp == sel_q, f"FLF selection flipped: {sel_fp} vs {sel_q}"
+    assert any(s for _, s in sel_fp), sel_fp
+    drift = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-8)
+    assert 0.0 < drift < bound, f"longcat w4 guided drift {drift:.3f}"

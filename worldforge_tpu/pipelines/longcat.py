@@ -56,18 +56,25 @@ class LongCatPipeline:
     # transients so the full int8 model + activations fit 16 GB HBM
     # (docs/SERVING.md); single-chip capacity knob, ignored under a mesh
     token_chunk: int = 1
+    # compiler-chosen entry layouts for the DiT weights on the fused i2v
+    # path (runtime/layouts.py — see WanI2VPipeline.auto_layout): removes
+    # XLA's u8 layout copies of quantized stacks. Mutates self.dit_params.
+    auto_layout: bool = False
 
     def _vae_fns(self):
         from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
         return vae_fn_pair(self.streaming_vae, self.streaming_vae_chunk)
 
     def _vae_decode_fn(self):
+        # params as a REAL jit arg, not a capture (vae_dispatch.jit_vae_fns)
         d, _ = self._vae_fns()
-        return jax.jit(lambda z: d(self.vae_params, self.vae_cfg, z))
+        jd = jax.jit(lambda p, z: d(p, self.vae_cfg, z))
+        return lambda z: jd(self.vae_params, z)
 
     def _vae_encode_fn(self):
         _, e = self._vae_fns()
-        return jax.jit(lambda v: e(self.vae_params, self.vae_cfg, v))
+        je = jax.jit(lambda p, v: e(p, self.vae_cfg, v))
+        return lambda v: je(self.vae_params, v)
 
     @functools.cached_property
     def _dit_fn(self):
@@ -220,12 +227,20 @@ class LongCatPipeline:
                 (b, 3, num_frames, height, width), jnp.float32)
             mask_arg = mask if guided_on else jnp.zeros(
                 (b, 1, num_frames, height, width), jnp.float32)
-            latents = runner(self.dit_params, self.vae_params, latents,
-                             prompt_embeds, prompt_mask,
-                             negative_prompt_embeds if do_cfg else
-                             prompt_embeds,
-                             negative_prompt_mask if do_cfg else prompt_mask,
-                             ref_arg, mask_arg, key)
+            run_args = (self.dit_params, self.vae_params, latents,
+                        prompt_embeds, prompt_mask,
+                        negative_prompt_embeds if do_cfg else prompt_embeds,
+                        negative_prompt_mask if do_cfg else prompt_mask,
+                        ref_arg, mask_arg, key)
+            if self.auto_layout:
+                from worldforge_tpu.runtime.layouts import \
+                    compile_auto_layouts
+                compiled, run_args = compile_auto_layouts(
+                    runner, run_args, auto_argnums=(0,))
+                self.dit_params = run_args[0]   # now in preferred layout
+                latents = compiled(*run_args)
+            else:
+                latents = runner(*run_args)
             if output_type == "latent":
                 return latents
             video = dec(latents)

@@ -43,7 +43,14 @@ def vae_fn_pair(streaming: bool, chunk: int = 1):
 
 
 def jit_vae_fns(params, cfg, streaming: bool, chunk: int = 1):
-    """Jitted (decode(z), encode(video)) closures over fixed params."""
+    """Jitted (decode(z), encode(video)) closures over fixed params.
+
+    params is threaded as a REAL jit argument, not a closure capture:
+    jax inlines captured arrays into the StableHLO as constants, and at
+    production VAE size the serialized module then exceeds the remote-
+    compile request limit (HTTP 413 through the axon tunnel) — and would
+    bloat the compile cache on any host."""
     dec, enc = vae_fn_pair(streaming, chunk)
-    return (jax.jit(lambda z: dec(params, cfg, z)),
-            jax.jit(lambda v: enc(params, cfg, v)))
+    jdec = jax.jit(lambda p, z: dec(p, cfg, z))
+    jenc = jax.jit(lambda p, v: enc(p, cfg, v))
+    return (lambda z: jdec(params, z)), (lambda v: jenc(params, v))

@@ -63,6 +63,12 @@ class WanI2VPipeline:
     # jax.sharding.Mesh for multi-chip serving: threaded into every DiT
     # forward (Ulysses sp / 2D sp_h x sp_w dispatch in models/wan/dit.py)
     mesh: object = None
+    # compile the fused program with compiler-chosen entry layouts for the
+    # DiT weights and relayout them once (runtime/layouts.py) — removes the
+    # ~5 GB of u8 layout copies XLA otherwise inserts for int4 stacks; the
+    # difference between guided DiT+VAE fitting a 16 GB chip and OOM.
+    # Mutates self.dit_params to the preferred layout on first fused call.
+    auto_layout: bool = False
 
     # ------------------------------------------------------------ pieces
 
@@ -273,11 +279,19 @@ class WanI2VPipeline:
                 (batch, 3, num_frames, height, width), jnp.float32)
             mask_arg = mask if guided_on else jnp.zeros(
                 (batch, 1, num_frames, height, width), jnp.float32)
-            latents = runner(self.dit_params, self.vae_params, latents,
-                             condition, prompt_embeds,
-                             negative_prompt_embeds if do_cfg else
-                             prompt_embeds, image_embeds, ref_arg, mask_arg,
-                             key)
+            run_args = (self.dit_params, self.vae_params, latents,
+                        condition, prompt_embeds,
+                        negative_prompt_embeds if do_cfg else prompt_embeds,
+                        image_embeds, ref_arg, mask_arg, key)
+            if self.auto_layout:
+                from worldforge_tpu.runtime.layouts import \
+                    compile_auto_layouts
+                compiled, run_args = compile_auto_layouts(
+                    runner, run_args, auto_argnums=(0,))
+                self.dit_params = run_args[0]   # now in preferred layout
+                latents = compiled(*run_args)
+            else:
+                latents = runner(*run_args)
         else:
             from worldforge_tpu.sampling.engine import wan_denoise_loop
             latents = wan_denoise_loop(

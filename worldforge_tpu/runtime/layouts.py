@@ -1,0 +1,73 @@
+"""Compiler-preferred weight layouts for quantized serving.
+
+Problem (measured on the v5e, scripts/run_e2e_guided.py round-3 OOM
+post-mortem): XLA's layout assignment wants the int4 attention weight
+stacks in a transposed {1,2,0} on-chip layout; with default row-major
+entry layouts it materializes a u8 COPY of every such stack as an HLO
+temp — 10 x 500 MB = 5 GB of pure layout copies for the Wan-14B i2v,
+which is the difference between the guided DiT+VAE program fitting a
+16 GB chip (12.3 GB) and not (17.3 GB).
+
+Fix: compile with AUTO entry layouts for the weight pytree (the compiler
+then keeps its preferred layout as the ENTRY layout instead of inserting
+copies), read back the chosen formats, and relayout the stored weights
+once — deleting each old buffer as its copy lands so the transient
+overhead is one leaf, not a second model.
+
+The reference never needs this because torch tensors have no compiler-
+chosen layouts; it is the TPU/XLA-native analog of the reference's
+contiguous()/channels-last weight preparation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+
+try:  # public in jax.experimental.layout; AutoLayout via the src module
+    from jax.experimental.layout import Format
+    from jax._src.layout import AutoLayout
+    _HAVE_LAYOUTS = True
+except Exception:  # pragma: no cover - older/newer jax
+    _HAVE_LAYOUTS = False
+
+
+def auto_layouts_supported() -> bool:
+    return _HAVE_LAYOUTS
+
+
+def compile_auto_layouts(fn, args: Tuple, auto_argnums: Sequence[int] = (0,),
+                         donate_old: bool = True):
+    """Compile ``fn(*args)`` letting XLA choose the entry layouts of the
+    selected positional args, then relayout those args to the chosen
+    formats.
+
+    Returns ``(compiled, new_args)``; call ``compiled(*new_args)``. The
+    non-selected args keep default layouts. With ``donate_old`` each
+    original leaf buffer is deleted as soon as its relayouted copy is
+    ready, bounding transient HBM overhead to one leaf.
+
+    The compiled object is shape/dtype-specialized to ``args`` (standard
+    AOT semantics) — cache it per shape set if called repeatedly.
+    """
+    if not _HAVE_LAYOUTS:
+        return jax.jit(fn), args
+    in_sh = tuple(Format(AutoLayout()) if i in set(auto_argnums) else None
+                  for i in range(len(args)))
+    compiled = jax.jit(fn, in_shardings=in_sh).lower(*args).compile()
+    fmts = compiled.input_formats[0]
+
+    new_args = list(args)
+    for i in auto_argnums:
+        leaves, tree = jax.tree.flatten(args[i])
+        fleaves = jax.tree.leaves(fmts[i])
+        out = []
+        for leaf, fmt in zip(leaves, fleaves):
+            new = jax.device_put(leaf, fmt)
+            if donate_old and new is not leaf and isinstance(leaf, jax.Array):
+                new.block_until_ready()   # copy done before freeing source
+                leaf.delete()
+            out.append(new)
+        new_args[i] = jax.tree.unflatten(tree, out)
+    return compiled, tuple(new_args)
