@@ -4,29 +4,44 @@ flow-UniPC with the FULL WorldForge state machine (IRR resample_steps=2,
 FLF device Farneback channel selection, DSG, pixel-space VAE fuse every
 guided step), reference cost structure at pipeline_wan_i2v_clean.py:562-728.
 
-The capacity trick that makes DiT+VAE coexist in 16 GB (they must — the
-scheduler calls the VAE inside the denoise loop): the ALL-int4 W4A8 DiT
-(~8.2 GB blocks, quality-gated at 5% guided drift in
-tests/test_int4_quality.py) + the fp32 VAE (~0.5 GB) + streaming VAE
-encode/decode (single-pass 480p decode cannot compile on 16 GB).
+The capacity recipe that makes DiT+VAE coexist in 16 GB (they must — the
+scheduler calls the VAE inside the denoise loop):
+  * ALL-int4 W4A8 DiT (~8.2 GB blocks, quality-gated at 5% guided drift in
+    tests/test_int4_quality.py + production-shape drift in
+    scripts/measure_int4_drift_prod.py);
+  * compiler-chosen entry layouts for the weights (runtime/layouts.py —
+    without them XLA materializes ~5 GB of u8 layout copies);
+  * streaming VAE encode/decode (single-pass 480p decode cannot compile on
+    16 GB even alone);
+  * bf16 VAE params AND compute (the VAE entry casts activations to the
+    param dtype): the fp32 VAE peaks too high next to the resident DiT —
+    the reference runs its VAE fp32 (infer_worldforge.py:179-197), so this
+    is a DOCUMENTED 16 GB-capacity deviation gated at 3.5% fuse drift in
+    tests/test_guided_drift.py::test_bf16_vae_fuse_drift (--fp32-vae
+    restores reference dtype on bigger-HBM chips).
+
+Two execution modes:
+  --mode loop (default): the reference-mirroring python loop — DiT step /
+    VAE decode / VAE encode / FLF each its own jit program. Every program
+    fits 16 GB individually; host dispatch (~25 ms/call) is noise against
+    10 s DiT steps. Gives the per-phase breakdown for free.
+  --mode fused: the ONE-PROGRAM lax.scan engine (wan_denoise_scan). On
+    this 16 GB chip the whole-loop program misses HBM by ~36 MB at compile
+    (measured twice: 170 MB fp32-VAE, 36 MB bf16-VAE — the fuse's
+    full-res conv temps and the DiT must coexist in one allocation plan);
+    it IS the shipping mode on >=24 GB parts and is dryrun/smoke-proven
+    (tests/test_engine_scan.py, parallel/dryrun.py).
 
 Random-init weights (none exist in this env) and random prompt/CLIP
 embeddings — the measurement is wall-clock sec/clip for the whole guided
 serving path, not sample quality (quality is gated separately against the
 reference oracle in tests/test_guided_drift.py).
 
-Two measurements, same process:
-  1. per-phase costs at production shape (DiT CFG step, VAE decode+encode
-     fuse round-trip, FLF Farneback batch) — the breakdown;
-  2. the ONE-PROGRAM fused guided clip (pipelines/wan_i2v.py fused=True):
-     total measured sec/clip.
-
 Run from /root/repo with no JAX_PLATFORMS overrides:
-    python scripts/run_e2e_guided.py [--steps 50] [--phase-only]
+    python scripts/run_e2e_guided.py [--steps 50] [--no-repeat] [--fp32-vae]
 """
 
 import argparse
-import gc
 import os
 import sys
 import time
@@ -47,22 +62,34 @@ def _sync(x):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--phase-only", action="store_true",
-                    help="measure the per-phase costs, skip the full clip")
-    ap.add_argument("--bf16-vae", action="store_true",
-                    help="bf16 VAE params (halves VAE activation temps; "
-                         "fallback if the fp32 fuse OOMs next to the DiT — "
-                         "the reference runs the VAE fp32, so this is a "
-                         "documented deviation when used)")
+    ap.add_argument("--mode", choices=("loop", "fused"), default="loop")
+    ap.add_argument("--no-repeat", action="store_true",
+                    help="skip the second (steady-state) clip run")
+    ap.add_argument("--fp32-vae", action="store_true",
+                    help="reference-dtype fp32 VAE (needs >16 GB HBM next "
+                         "to the resident DiT; default is bf16 — see module "
+                         "docstring)")
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=832)
+    ap.add_argument("--frames", type=int, default=49)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny-config CPU smoke of the script logic "
+                         "(tiny DiT, narrow VAE, forces the cpu backend)")
     args = ap.parse_args()
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
 
-    from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit_w4
+    from worldforge_tpu.core.dtypes import DEFAULT_POLICY
+    from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit_w4,
+                                               wan_dit_forward)
     from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
     from worldforge_tpu.pipelines.wan_i2v import WanI2VPipeline
+    from worldforge_tpu.runtime.layouts import compile_auto_layouts
     from worldforge_tpu.sampling.guidance import GuidanceConfig
 
     t_all = time.perf_counter()
-    dit_cfg = WanDiTConfig.wan_14b_i2v()
+    dit_cfg = (WanDiTConfig.tiny("i2v") if args.smoke
+               else WanDiTConfig.wan_14b_i2v())
     key = jax.random.key(0)
 
     t0 = time.perf_counter()
@@ -72,19 +99,19 @@ def main():
     print(f"[1] all-int4 14B i2v resident: {time.perf_counter()-t0:.0f} s",
           flush=True)
 
-    vae_cfg = WanVAEConfig.wan_2_1()
+    vae_cfg = (WanVAEConfig(dim=8, num_res_blocks=1) if args.smoke
+               else WanVAEConfig.wan_2_1())
     t0 = time.perf_counter()
-    vae_dtype = jnp.bfloat16 if args.bf16_vae else jnp.float32
+    vae_dtype = jnp.float32 if args.fp32_vae else jnp.bfloat16
     vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=vae_dtype)
     _sync(vae_params)
-    print(f"[2] {'bf16' if args.bf16_vae else 'fp32'} VAE resident "
+    print(f"[2] {'fp32' if args.fp32_vae else 'bf16'} VAE resident "
           f"alongside: {time.perf_counter()-t0:.0f} s", flush=True)
 
     pipe = WanI2VPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
                           streaming_vae=True, auto_layout=True)
 
-    h, w, nf = 480, 832, 49
-    f_lat, h_lat, w_lat = 13, 60, 104
+    h, w, nf = args.height, args.width, args.frames
     image = jax.random.uniform(jax.random.key(2), (1, 3, h, w),
                                jnp.float32) * 2.0 - 1.0
     pe = jax.random.normal(jax.random.key(3),
@@ -93,34 +120,49 @@ def main():
     ne = jax.random.normal(jax.random.key(4), pe.shape, jnp.bfloat16)
     ie = jax.random.normal(jax.random.key(5), (1, 257, dit_cfg.clip_dim),
                            jnp.bfloat16)
+    # ref/mask in the VAE compute dtype (fuse casts them there anyway;
+    # keeping fp32 originals resident costs ~350 MB of args+copies)
+    ref_dt = jnp.float32 if args.fp32_vae else jnp.bfloat16
     video_ref = jax.random.uniform(jax.random.key(6), (1, 3, nf, h, w),
-                                   jnp.float32)
-    # WorldForge-like validity mask: ~70% reference-valid, soft-ish edges
+                                   jnp.float32).astype(ref_dt)
+    # WorldForge-like validity mask: ~70% reference-valid
     mask = (jax.random.uniform(jax.random.key(7), (1, 1, nf, h, w),
-                               jnp.float32) > 0.3).astype(jnp.float32)
+                               jnp.float32) > 0.3).astype(ref_dt)
 
-    # ---------------- phase costs at production shape (steady-state) ----
-    lat = jax.random.normal(jax.random.key(8),
-                            (1, 16, f_lat, h_lat, w_lat), jnp.float32)
-    cond = jax.random.normal(jax.random.key(9),
-                             (1, 20, f_lat, h_lat, w_lat), jnp.float32)
+    g = GuidanceConfig()  # reference production defaults: guided,
+    # guide_steps=15, resample_steps=2, resample_round=20, omega=4, FLF on
+    n_guided = min(g.guide_steps, args.steps)
 
-    def timed(fn, *a, n=2):
-        out = fn(*a)
-        _sync(out)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*a)
-        _sync(out)
-        return (time.perf_counter() - t0) / n
+    t0 = time.perf_counter()
+    latents, condition = pipe.prepare_latents(jax.random.key(8), image, 1,
+                                              h, w, nf)
+    _sync(latents)
+    print(f"[3] prepare_latents (streaming VAE encode compile + run): "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
 
-    # AUTO entry layouts for the weights: without this XLA inserts ~5 GB of
-    # u8 layout copies for the int4 attention stacks and the program does
-    # not fit 16 GB next to the VAE (runtime/layouts.py; measured OOM
-    # post-mortem in the round-3 history of this file)
-    from worldforge_tpu.core.dtypes import DEFAULT_POLICY
-    from worldforge_tpu.models.wan.dit import wan_dit_forward
-    from worldforge_tpu.runtime.layouts import compile_auto_layouts
+    def report_memory(compiled):
+        try:
+            ma = compiled.memory_analysis()
+            print(f"    memory analysis: args "
+                  f"{ma.argument_size_in_bytes/2**30:.2f} GiB, temps "
+                  f"{ma.temp_size_in_bytes/2**30:.2f} GiB", flush=True)
+        except Exception:
+            pass
+
+    if args.mode == "fused":
+        run_fused(args, pipe, g, n_guided, dit_params, vae_params, latents,
+                  condition, pe, ne, ie, video_ref, mask, t_all,
+                  report_memory)
+        return
+
+    # ---------------- loop mode: reference-mirroring python loop ---------
+    from worldforge_tpu.sampling.channel_select import (
+        apply_channel_replacement, select_channels_wan,
+        _flow_similarity_scores)
+    from worldforge_tpu.ops.flow import video_channel_flows_pair
+    from worldforge_tpu.sampling.engine import wan_denoise_loop
+    from worldforge_tpu.sampling.guidance import fuse_latents
+    from worldforge_tpu.sampling.unipc import make_flow_unipc_schedule
 
     def dit_cfg_step(params, lat, cond, t, pe, ne, ie):
         x = lat.astype(jnp.float32)
@@ -132,107 +174,142 @@ def main():
                               policy=DEFAULT_POLICY)
         return pred + 4.0 * (pred - unc)
 
-    step_args = (dit_params, lat, cond, jnp.float32(500.0), pe, ne, ie)
-    step_compiled, step_args = compile_auto_layouts(dit_cfg_step, step_args,
-                                                    auto_argnums=(0,))
+    t0 = time.perf_counter()
+    step_args = (dit_params, latents, condition, jnp.float32(1000.0),
+                 pe, ne, ie)
+    step_c, step_args = compile_auto_layouts(dit_cfg_step, step_args,
+                                             auto_argnums=(0,))
     dit_params = step_args[0]
     pipe.dit_params = dit_params
-    t_dit = timed(lambda: step_compiled(*step_args))
-    print(f"[3] DiT CFG step (2x 14B i2v all-int4 fwd): {t_dit:.2f} s",
-          flush=True)
-    del step_compiled, step_args   # drop the step program before the VAE
-    gc.collect()
+    print(f"[4] DiT CFG step compiled (+weights relaid): "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
+    report_memory(step_c)
 
-    # each remaining phase is fault-tolerant: the fused clip below is the
-    # headline measurement and must run even if a standalone phase OOMs
-    # next to the resident weights (round-3 attempt 3 history: standalone
-    # streaming decode hit RESOURCE_EXHAUSTED with the DiT resident)
     dec, enc = pipe._vae_decode_fn(), pipe._vae_encode_fn()
-    t_dec = t_enc = float("nan")
-    try:
-        t_dec = timed(lambda: dec(lat))
-        video_px = dec(lat)
-        t_enc = timed(lambda: enc(video_px))
-        del video_px
-        print(f"[4] VAE fuse round-trip: decode {t_dec:.2f} s + "
-              f"encode {t_enc:.2f} s", flush=True)
-    except Exception as e:
-        print(f"[4] standalone VAE phase failed next to resident weights: "
-              f"{type(e).__name__} {str(e)[:200]}", flush=True)
-
-    from worldforge_tpu.ops.flow import video_channel_flows_pair
-    from worldforge_tpu.sampling.channel_select import _flow_similarity_scores
 
     @jax.jit
-    def flf_batch(a, b):
+    def flf_scores(a, b):
         return _flow_similarity_scores(*video_channel_flows_pair(a, b))
 
-    t_flf = float("nan")
-    try:
-        lat2 = lat + 0.1
-        t_flf = timed(lambda: flf_batch(lat, lat2))
-        del lat2
-        print(f"[5] FLF device Farneback batch (16ch x 2 x 12 pairs): "
-              f"{t_flf:.2f} s", flush=True)
-    except Exception as e:
-        print(f"[5] FLF phase failed: {type(e).__name__} {str(e)[:200]}",
-              flush=True)
-    gc.collect()
+    phase = {"dit": [], "dec+enc": [], "flf": []}
+    selections = []
 
-    g = GuidanceConfig()  # reference production defaults: guided,
-    # guide_steps=15, resample_steps=2, resample_round=20, omega=4, FLF on
-    n_guided = min(g.guide_steps, args.steps)
-    est = (args.steps * t_dit                      # every step, 1 CFG call
-           + n_guided * (g.resample_steps - 1) * t_dit   # IRR extra calls
-           + n_guided * g.resample_steps * (t_dec + t_enc)  # fuse round-trips
-           + n_guided * t_flf                      # FLF once per step (r=0)
-           + t_dec)                                # final decode
-    print(f"    structural estimate ({args.steps} steps, {n_guided} guided): "
-          f"{est:.0f} s/clip", flush=True)
+    def model_fn(lat, t_model, i, r):
+        t1 = time.perf_counter()
+        out = step_c(dit_params, lat, condition, jnp.float32(t_model),
+                     pe, ne, ie)
+        _sync(out)
+        phase["dit"].append(time.perf_counter() - t1)
+        return out
 
-    if args.phase_only:
-        return
+    def fuse_fn(x0, i, r):
+        pre = x0
+        t1 = time.perf_counter()
+        x0 = fuse_latents(x0, video_ref, mask, dec, enc)
+        _sync(x0)
+        phase["dec+enc"].append(time.perf_counter() - t1)
+        if g.use_flf and r == 0:
+            t1 = time.perf_counter()
+            scores = np.asarray(flf_scores(pre, x0))
+            sel = select_channels_wan(scores, i)
+            phase["flf"].append(time.perf_counter() - t1)
+            if sel:
+                selections.append((i, tuple(sel)))
+                x0 = apply_channel_replacement(x0, pre, sel)
+        return x0
 
-    # ---------------- the fused guided clip (one jit program) -----------
+    sched = make_flow_unipc_schedule(args.steps, 5.0)
+
+    def one_clip(tag):
+        t0 = time.perf_counter()
+        cb = (lambda i, lat: print(
+            f"    step {i+1}/{args.steps} @ {time.perf_counter()-t0:.0f} s",
+            flush=True) if (i + 1) % 10 == 0 else None)
+        out = wan_denoise_loop(model_fn, latents, sched, g,
+                               key=jax.random.key(10), fuse_fn=fuse_fn,
+                               callback=cb, record_r0=True)
+        _sync(out)
+        dt = time.perf_counter() - t0
+        print(f"[{tag}] guided denoise loop, {args.steps} steps "
+              f"({n_guided} guided): {dt:.0f} s", flush=True)
+        return out, dt
+
+    out_lat, t_first = one_clip("5")
+    lat_host = np.asarray(out_lat, np.float32)
+    t_run = t_first
+    if not args.no_repeat:
+        for k in phase:
+            phase[k].clear()
+        out_lat, t_run = one_clip("5b steady-state")  # programs all warm
+
     t0 = time.perf_counter()
-    out_lat = pipe.generate(
-        jax.random.key(10), image, pe, ne, ie, height=h, width=w,
-        num_frames=nf, num_inference_steps=args.steps, guidance_scale=4.0,
-        video_ref=video_ref, mask=mask, guidance=g, output_type="latent",
-        fused=True)
+    video = dec(jnp.asarray(lat_host))
+    out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+    t_decode = time.perf_counter() - t0
+    del video
+    print(f"[6] final streaming decode: {t_decode:.1f} s "
+          f"(clip {out.shape})", flush=True)
+
+    for k, v in phase.items():
+        if v:
+            print(f"    phase {k}: n={len(v)}, median "
+                  f"{np.median(v):.2f} s, total {np.sum(v):.0f} s",
+                  flush=True)
+    print(f"    FLF selections: {selections}", flush=True)
+    t_clip = t_run + t_decode
+    print(f"GUIDED clip: denoise+decode {t_clip:.0f} s = "
+          f"{nf / t_clip:.4f} fps "
+          f"({'steady-state' if not args.no_repeat else 'incl. compiles'}); "
+          f"wall from empty chip {time.perf_counter()-t_all:.0f} s",
+          flush=True)
+
+
+def run_fused(args, pipe, g, n_guided, dit_params, vae_params, latents,
+              condition, pe, ne, ie, video_ref, mask, t_all, report_memory):
+    from worldforge_tpu.runtime.layouts import compile_auto_layouts
+
+    nf = args.frames
+    runner = pipe._fused_runner(g, args.steps, 5.0, True, True, 4.0)
+    run_args = (dit_params, vae_params, latents, condition, pe, ne, ie,
+                video_ref, mask, jax.random.key(10))
+    t0 = time.perf_counter()
+    compiled, run_args = compile_auto_layouts(runner, run_args,
+                                              auto_argnums=(0,))
+    pipe.dit_params = run_args[0]          # preferred-layout weights
+    print(f"[4] fused guided program compiled (+weights relaid): "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
+    report_memory(compiled)
+
+    t0 = time.perf_counter()
+    out_lat = compiled(*run_args)
     _sync(out_lat)
-    t_denoise = time.perf_counter() - t0
-    print(f"[6] fused guided denoise, {args.steps} steps "
-          f"(incl. compile): {t_denoise:.0f} s", flush=True)
-    lat_host = np.asarray(out_lat, np.float32)  # the result is safe now
+    t_run = time.perf_counter() - t0
+    print(f"[5] fused guided denoise, {args.steps} steps ({n_guided} "
+          f"guided): {t_run:.0f} s", flush=True)
+    lat_host = np.asarray(out_lat, np.float32)
+    del out_lat
 
-    t_decode = float("nan")
-    try:
+    if not args.no_repeat:
         t0 = time.perf_counter()
-        video = dec(jnp.asarray(lat_host))
-        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
-        t_decode = time.perf_counter() - t0
-        print(f"[7] final streaming decode: {t_decode:.1f} s "
-              f"(clip {out.shape})", flush=True)
-    except Exception as e:
-        print(f"[7] final decode failed next to resident weights "
-              f"({type(e).__name__}) — drop the DiT and decode "
-              f"sequenced, as run_e2e_14b_int8.py does", flush=True)
-        pipe.dit_params = None
-        del dit_params
-        gc.collect()
-        t0 = time.perf_counter()
-        video = dec(jnp.asarray(lat_host))
-        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
-        t_decode = time.perf_counter() - t0
-        print(f"[7b] sequenced decode: {t_decode:.1f} s (clip {out.shape})",
-              flush=True)
+        out_lat = compiled(*run_args)
+        _sync(out_lat)
+        t_run = time.perf_counter() - t0   # steady state (cache warm)
+        print(f"[5b] steady-state repeat: {t_run:.0f} s", flush=True)
+        del out_lat
 
-    total = time.perf_counter() - t_all
-    t_clip = t_denoise + t_decode
-    print(f"GUIDED clip: denoise+decode {t_clip:.0f} s "
-          f"({nf / t_clip:.4f} fps incl. compile; structural steady-state "
-          f"{est:.0f} s), total wall from empty chip {total:.0f} s")
+    dec = pipe._vae_decode_fn()
+    t0 = time.perf_counter()
+    video = dec(jnp.asarray(lat_host))
+    out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+    t_decode = time.perf_counter() - t0
+    del video
+    print(f"[6] final streaming decode (incl. compile): {t_decode:.1f} s "
+          f"(clip {out.shape})", flush=True)
+
+    t_clip = t_run + t_decode
+    print(f"GUIDED clip (fused): denoise+decode {t_clip:.0f} s = "
+          f"{nf / t_clip:.4f} fps; wall from empty chip "
+          f"{time.perf_counter()-t_all:.0f} s", flush=True)
 
 
 if __name__ == "__main__":

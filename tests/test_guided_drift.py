@@ -27,6 +27,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
 import jax.numpy as jnp
 
 from tests.reference_oracle import import_wan_scheduler
@@ -292,6 +293,40 @@ def test_guided_fuse_flf_drift():
     (:1393-1412); our flf_select + apply_channel_replacement must land on
     the same latents. 16 channels (the Wan z_dim the schedule expects)."""
     _drive((1, 16, 4, 8, 8), 8, 2, 6, 5, use_flf=True)
+
+
+def test_bf16_vae_fuse_drift():
+    """Gate for the 16 GB guided-serving deviation: the flagship e2e recipe
+    (scripts/run_e2e_guided.py, docs/SERVING.md) runs the VAE in bf16
+    because the fp32 streaming decode cannot coexist with the resident
+    14B DiT (measured RESOURCE_EXHAUSTED) — the reference runs its VAE
+    fp32 (infer_worldforge.py:179-197). One fuse_latents round-trip through
+    the REAL (tiny-config) Wan VAE with bf16-cast params — bf16 COMPUTE,
+    the VAE entry casts activations to the param dtype — must stay within
+    3.5% of the fp32 fuse (measured 2.2%; the guided loop re-anchors to
+    the reference video each step, so per-step noise does not accumulate —
+    same damping measured for int8 in tests/test_int8_quality.py)."""
+    from worldforge_tpu.models.wan.vae import (WanVAEConfig, init_wan_vae,
+                                               vae_decode, vae_encode)
+    cfg = WanVAEConfig.tiny()
+    p32 = init_wan_vae(jax.random.key(0), cfg, dtype=jnp.float32)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                       if a.dtype == jnp.float32 else a, p32)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 5, 8, 8)),
+                     jnp.float32)
+    ref = jnp.asarray(rng.uniform(0, 1, (1, 3, 17, 64, 64)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (1, 1, 17, 64, 64)) > 0.5,
+                       jnp.float32)
+    f32 = fuse_latents(x0, ref, mask,
+                       lambda z: vae_decode(p32, cfg, z),
+                       lambda v: vae_encode(p32, cfg, v))
+    f16 = fuse_latents(x0, ref, mask,
+                       lambda z: vae_decode(p16, cfg, z),
+                       lambda v: vae_encode(p16, cfg, v))
+    f32, f16 = np.asarray(f32), np.asarray(f16)
+    drift = np.abs(f32 - f16).max() / (np.abs(f32).max() + 1e-8)
+    assert 0.0 < drift < 0.035, f"bf16 VAE fuse drift {drift:.4f}"
 
 
 def test_guided_fuse_realistic_shape():

@@ -8,7 +8,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from worldforge_tpu.runtime.layouts import (auto_layouts_supported,
-                                            compile_auto_layouts)
+                                            compile_auto_layouts,
+                                            jit_matching_layouts)
+
+
+def test_jit_matching_layouts_on_relaid_args(rng):
+    """A SECOND program over weights that compile_auto_layouts already
+    relaid must pin its entry layouts to the weights' concrete formats:
+    AUTO on already-relaid args raises ('Layout passed to jit does not
+    match the layout on the respective arg' — hit on the e2e guided
+    phase breakdown), and default layouts would re-insert copies."""
+    params = {"w": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+
+    def f(p, x):
+        return x @ p["w"]
+
+    def f2(p, x):          # a different program over the same weights
+        return (x @ p["w"]).sum(axis=1)
+
+    want = np.asarray(f2(params, x))   # before relayout donates the source
+    _, (relaid, x2) = compile_auto_layouts(f, (params, x), auto_argnums=(0,))
+    g = jit_matching_layouts(f2, (relaid, x2), argnums=(0,))
+    got = np.asarray(g(relaid, x2))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
 def test_compile_auto_layouts_matches_plain(rng):

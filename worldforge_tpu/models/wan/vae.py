@@ -388,8 +388,16 @@ def _to_channels_first(x):
 def vae_encode(params, cfg: WanVAEConfig, video,
                mean=None, std=None) -> jnp.ndarray:
     """video [B,3,T,H,W] in [-1,1] -> normalized latents [B,z,T',H/8,W/8]
-    (deterministic: the mu head, matching WanVAE_.encode vae.py:516-542)."""
-    x = _to_channels_last(video)
+    (deterministic: the mu head, matching WanVAE_.encode vae.py:516-542).
+
+    Compute dtype follows the PARAM dtype: fp32 params (the reference's
+    dtype, infer_worldforge.py:179-197) run fp32 activations; bf16 params
+    (the 16 GB guided-serving deviation, docs/SERVING.md) run bf16
+    activations — without the entry cast, fp32 inputs promote every conv
+    to fp32 and the activation savings of a bf16 VAE never materialize
+    (measured: the guided fused program missed 16 GB by 170 MB on fp32
+    temps). Drift gated in tests/test_guided_drift.py::test_bf16_vae_fuse_drift."""
+    x = _to_channels_last(video).astype(params["conv1"]["w"].dtype)
     out = _encoder(params["encoder"], cfg, x)
     out = _causal_conv3d(params["conv1"], out)
     mu = out[..., :cfg.z_dim]
@@ -402,12 +410,14 @@ def vae_encode(params, cfg: WanVAEConfig, video,
 
 def vae_decode(params, cfg: WanVAEConfig, latents,
                mean=None, std=None) -> jnp.ndarray:
-    """normalized latents [B,z,T',H',W'] -> video [B,3,T,H,W] in [-1,1]."""
+    """normalized latents [B,z,T',H',W'] -> video [B,3,T,H,W] in [-1,1].
+    Compute dtype follows the param dtype (see vae_encode)."""
     z = _to_channels_last(latents)
     if mean is None and cfg.z_dim == 16:
         mean, std = jnp.asarray(WAN_LATENTS_MEAN), jnp.asarray(WAN_LATENTS_STD)
     if mean is not None:
         z = z * std.astype(z.dtype) + mean.astype(z.dtype)
+    z = z.astype(params["conv2"]["w"].dtype)
     z = _causal_conv3d(params["conv2"], z)
     x = _decoder(params["decoder"], cfg, z)
     return jnp.clip(_to_channels_first(x), -1.0, 1.0)

@@ -271,7 +271,9 @@ def vae_encode_streaming(params, cfg: WanVAEConfig, video,
     normalized latents. Chunks: [1, 4, 4, ...] input frames
     (vae.py:516-534)."""
     b, _, t, h, w = video.shape
-    x = jnp.transpose(video, (0, 2, 3, 4, 1))
+    # compute dtype follows the param dtype (see vae.py::vae_encode)
+    x = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(
+        params["conv1"]["w"].dtype)
     caches = init_encoder_caches(params["encoder"], cfg, b, h, w, x.dtype)
 
     out0, caches = _encoder_chunk(params["encoder"], cfg, x[:, :1], caches,
@@ -319,6 +321,8 @@ def vae_decode_streaming(params, cfg: WanVAEConfig, latents,
         mean, std = jnp.asarray(WAN_LATENTS_MEAN), jnp.asarray(WAN_LATENTS_STD)
     if mean is not None:
         z = z * std.astype(z.dtype) + mean.astype(z.dtype)
+    # compute dtype follows the param dtype (see vae.py::vae_encode)
+    z = z.astype(params["conv2"]["w"].dtype)
     from worldforge_tpu.models.wan.vae import _causal_conv3d
     z = _causal_conv3d(params["conv2"], z)
 

@@ -65,16 +65,22 @@ class LongCatPipeline:
         from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
         return vae_fn_pair(self.streaming_vae, self.streaming_vae_chunk)
 
-    def _vae_decode_fn(self):
-        # params as a REAL jit arg, not a capture (vae_dispatch.jit_vae_fns)
-        d, _ = self._vae_fns()
+    @functools.cached_property
+    def _vae_jit_fns(self):
+        # params as a REAL jit arg, not a capture (vae_dispatch.jit_vae_fns);
+        # cached because fresh jit wrappers re-compile the streaming VAE —
+        # minutes per extra compile through the remote-compile tunnel
+        d, e = self._vae_fns()
         jd = jax.jit(lambda p, z: d(p, self.vae_cfg, z))
-        return lambda z: jd(self.vae_params, z)
+        je = jax.jit(lambda p, v: e(p, self.vae_cfg, v))
+        return (lambda z: jd(self.vae_params, z),
+                lambda v: je(self.vae_params, v))
+
+    def _vae_decode_fn(self):
+        return self._vae_jit_fns[0]
 
     def _vae_encode_fn(self):
-        _, e = self._vae_fns()
-        je = jax.jit(lambda p, v: e(p, self.vae_cfg, v))
-        return lambda v: je(self.vae_params, v)
+        return self._vae_jit_fns[1]
 
     @functools.cached_property
     def _dit_fn(self):

@@ -72,17 +72,20 @@ class WanI2VPipeline:
 
     # ------------------------------------------------------------ pieces
 
-    def _vae_decode_fn(self):
+    @functools.cached_property
+    def _vae_jit_fns(self):
+        # cached: jit_vae_fns builds FRESH jit wrappers per call, and a new
+        # wrapper means a full re-trace/re-compile of the streaming VAE —
+        # minutes per extra compile through the remote-compile tunnel
         from worldforge_tpu.pipelines.vae_dispatch import jit_vae_fns
-        d, _ = jit_vae_fns(self.vae_params, self.vae_cfg,
+        return jit_vae_fns(self.vae_params, self.vae_cfg,
                            self.streaming_vae, self.streaming_vae_chunk)
-        return d
+
+    def _vae_decode_fn(self):
+        return self._vae_jit_fns[0]
 
     def _vae_encode_fn(self):
-        from worldforge_tpu.pipelines.vae_dispatch import jit_vae_fns
-        _, e = jit_vae_fns(self.vae_params, self.vae_cfg,
-                           self.streaming_vae, self.streaming_vae_chunk)
-        return e
+        return self._vae_jit_fns[1]
 
     @functools.cached_property
     def _dit_step(self):

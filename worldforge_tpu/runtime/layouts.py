@@ -37,6 +37,20 @@ def auto_layouts_supported() -> bool:
     return _HAVE_LAYOUTS
 
 
+def jit_matching_layouts(fn, args: Tuple, argnums: Sequence[int] = (0,)):
+    """jit ``fn`` with entry layouts pinned to the CONCRETE formats the
+    selected args already carry on device. Use for a second program over
+    weights that compile_auto_layouts already relaid: AUTO would error
+    ('layout does not match the layout on the respective arg') and default
+    layouts would re-materialize the copies the relayout removed."""
+    if not _HAVE_LAYOUTS:
+        return jax.jit(fn)
+    in_sh = [None] * len(args)
+    for i in argnums:
+        in_sh[i] = jax.tree.map(lambda leaf: leaf.format, args[i])
+    return jax.jit(fn, in_shardings=tuple(in_sh))
+
+
 def compile_auto_layouts(fn, args: Tuple, auto_argnums: Sequence[int] = (0,),
                          donate_old: bool = True):
     """Compile ``fn(*args)`` letting XLA choose the entry layouts of the

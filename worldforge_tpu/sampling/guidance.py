@@ -73,7 +73,10 @@ def fuse_latents(pred_x0: jnp.ndarray,
                           (tgt[0], 1, tgt[2], tgt[3], tgt[4]), "nearest")
     ref = 2.0 * ref - 1.0
     fused = ref * m + decoded * (1.0 - m)
-    encoded = vae_encode(fused.astype(jnp.float32))
+    # no fp32 force-cast: the encode fn owns its compute dtype (a bf16 VAE
+    # must see bf16 input or every conv promotes to fp32 — the 16 GB guided
+    # program's margin lives on this, scripts/run_e2e_guided.py)
+    encoded = vae_encode(fused)
     if flf_channels:
         encoded = apply_channel_replacement(encoded, pred_x0, flf_channels)
     return encoded.astype(pred_x0.dtype)
