@@ -6,15 +6,24 @@ Reference: run_longcat_worldforge_single.py:211-214 (distill mode),
 pipeline_longcat_video.py:827-994 (guided i2v loop).
 
 Capacity: ALL-int4 W4A8 LongCat blocks (~6.8 GB, init_longcat_dit_w4) +
-fp32 VAE + streaming VAE encode/decode + AUTO weight layouts
-(runtime/layouts.py) so DiT+VAE coexist with room to spare.
+bf16 VAE (same documented 16 GB deviation as the Wan guided recipe —
+fuse-drift gated in tests/test_guided_drift.py::test_bf16_vae_fuse_drift;
+the fp32-VAE fused program misses 16 GB by 49 MB, measured: the top HLO
+temps are 630 MB fp32 VAE decode activations) + streaming VAE
+encode/decode + AUTO weight layouts (runtime/layouts.py).
 
 Random-init weights / random text embeds — measures wall-clock sec/clip
 for the guided serving path (quality is gated separately:
 tests/test_longcat_guided_drift.py, tests/test_int4_quality.py).
 
+NOTE the measured 16 GB mode is `--no-fused` (per-step dispatch): the
+ONE-PROGRAM fused scan compiles at this scale next to the bf16 VAE but
+hits a reproducible runtime "TPU device error" fault (2/2 attempts,
+/tmp/hw_longcat_e2e{,2}.log round 3) — tracked in docs/COMPONENTS.md;
+loop mode runs clean and is the loop-vs-fused-equivalence-tested path.
+
 Run from /root/repo with no JAX_PLATFORMS overrides:
-    python scripts/run_e2e_longcat_guided.py [--steps 16]
+    python scripts/run_e2e_longcat_guided.py --no-fused [--steps 16 --clips 2]
 """
 
 import argparse
@@ -38,6 +47,15 @@ def _sync(x):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--fp32-vae", action="store_true",
+                    help="reference-exact fp32 VAE (needs >16 GB fused)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="per-step dispatch instead of the fused scan")
+    ap.add_argument("--unguided", action="store_true",
+                    help="bisect aid: plain distilled loop, no IRR/FLF/fuse")
+    ap.add_argument("--clips", type=int, default=1,
+                    help="repeat the denoise; clip 2+ is steady-state "
+                         "(compiles cached, weights resident)")
     args = ap.parse_args()
 
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
@@ -57,11 +75,12 @@ def main():
           f"{time.perf_counter()-t0:.0f} s", flush=True)
 
     vae_cfg = WanVAEConfig.wan_2_1()
+    vae_dtype = jnp.float32 if args.fp32_vae else jnp.bfloat16
     t0 = time.perf_counter()
-    vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=jnp.float32)
+    vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=vae_dtype)
     _sync(vae_params)
-    print(f"[2] fp32 VAE resident alongside: {time.perf_counter()-t0:.0f} s",
-          flush=True)
+    print(f"[2] {jnp.dtype(vae_dtype).name} VAE resident alongside: "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
 
     pipe = LongCatPipeline(dit_params, cfg, vae_params, vae_cfg,
                            streaming_vae=True, auto_layout=True)
@@ -79,16 +98,24 @@ def main():
 
     g = GuidanceConfig(flf_backend="longcat")  # guided, guide_steps=15,
     # resample_steps=2, omega=4, FLF on — the reference WF defaults
-    t0 = time.perf_counter()
-    out_lat = pipe.generate_i2v(
-        jax.random.key(10), image, pe, pmask, None, None, height=h, width=w,
-        num_frames=nf, num_inference_steps=args.steps, guidance_scale=1.0,
-        use_distill=True, video_ref=video_ref, mask=mask, guidance=g,
-        output_type="latent", fused=True)
-    _sync(out_lat)
-    t_denoise = time.perf_counter() - t0
-    print(f"[3] fused guided DISTILLED denoise, {args.steps} steps "
-          f"(incl. compile): {t_denoise:.0f} s", flush=True)
+    if args.unguided:
+        g = GuidanceConfig(guided=False, flf_backend="longcat")
+        video_ref = mask = None
+    mode = ("loop" if args.no_fused else "fused") + \
+           ("-unguided" if args.unguided else "-guided")
+    for clip in range(args.clips):
+        t0 = time.perf_counter()
+        out_lat = pipe.generate_i2v(
+            jax.random.key(10 + clip), image, pe, pmask, None, None,
+            height=h, width=w, num_frames=nf,
+            num_inference_steps=args.steps, guidance_scale=1.0,
+            use_distill=True, video_ref=video_ref, mask=mask, guidance=g,
+            output_type="latent", fused=not args.no_fused)
+        _sync(out_lat)
+        t_denoise = time.perf_counter() - t0
+        tag = "incl. compile" if clip == 0 else "steady-state"
+        print(f"[3] {mode} DISTILLED denoise clip {clip + 1}, "
+              f"{args.steps} steps ({tag}): {t_denoise:.0f} s", flush=True)
 
     lat_host = np.asarray(out_lat, np.float32)
     dec = pipe._vae_decode_fn()
@@ -113,8 +140,9 @@ def main():
 
     total = time.perf_counter() - t_all
     t_clip = t_denoise + t_decode
-    print(f"GUIDED LongCat distilled clip {out.shape}: denoise+decode "
-          f"{t_clip:.0f} s ({nf / t_clip:.4f} fps incl. compile), total "
+    tag = "steady-state" if args.clips > 1 else "incl. compile"
+    print(f"{mode} LongCat distilled clip {out.shape}: denoise+decode "
+          f"{t_clip:.0f} s ({nf / t_clip:.4f} fps {tag}), total "
           f"wall from empty chip {total:.0f} s")
 
 
