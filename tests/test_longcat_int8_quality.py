@@ -70,12 +70,26 @@ def _run_guided(params, cfg, x0, noise_seq, vae, video_pix, mask_pix,
     return np.asarray(out)
 
 
-@pytest.mark.parametrize("use_distill,n_steps", [(False, 8), (True, 8)])
-def test_longcat_int8_guided_quality(use_distill, n_steps):
+@pytest.mark.parametrize("use_distill,n_steps,int4,bound", [
+    (False, 8, False, 0.08),
+    (True, 8, False, 0.08),
+    # all-int4 W4A8 (init_longcat_dit_w4 semantics, int4_keys=("*",)) — the
+    # 16 GB guided-serving build measured at 263 s/clip (docs/PERF.md);
+    # distilled is the schedule that build ships. Measured tiny-shape drift
+    # 0.087 (tiny shapes overstate quantization noise vs the production-
+    # shape 2.1% measured for Wan all-int4 in measure_int4_drift_prod.py);
+    # gate at ~1.7x measured, same as Wan's tiny all-int4 gate.
+    (True, 8, True, 0.15),
+])
+def test_longcat_int8_guided_quality(use_distill, n_steps, int4, bound):
     cfg = LongCatDiTConfig.tiny()
     params = init_longcat_dit(jax.random.key(11), cfg, dtype=jnp.float32)
-    params_q = quantize_tree(params)
-    assert params_q["blocks"]["qkv"].keys() >= {"w8", "scale"}
+    if int4:
+        params_q = quantize_tree(params, int4_keys=("*",), int4_group=32)
+        assert params_q["blocks"]["qkv"].keys() >= {"w4", "scale8"}
+    else:
+        params_q = quantize_tree(params)
+        assert params_q["blocks"]["qkv"].keys() >= {"w8", "scale"}
 
     rng = np.random.default_rng(3)
     x0 = rng.standard_normal(SHAPE).astype(np.float32)
@@ -98,4 +112,5 @@ def test_longcat_int8_guided_quality(use_distill, n_steps):
     assert any(s for _, s in sel_fp), sel_fp
 
     drift = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-8)
-    assert 0.0 < drift < 0.08, f"longcat int8 guided drift {drift:.3f}"
+    mode = "int4" if int4 else "int8"
+    assert 0.0 < drift < bound, f"longcat {mode} guided drift {drift:.3f}"
