@@ -101,6 +101,65 @@ def init_umt5(key, cfg: UMT5Config, dtype=jnp.bfloat16) -> dict:
     }
 
 
+def init_umt5_layerwise(key, cfg: UMT5Config, dtype=jnp.bfloat16,
+                        layer_transform=None) -> dict:
+    """UMT5 built LAYER BY LAYER on device (same pattern as the DiT
+    layerwise inits): peak HBM = stacked blocks + one transient layer.
+    Same key schedule as init_umt5 — numerically identical without a
+    layer_transform."""
+    from functools import partial
+
+    tf = layer_transform or (lambda t: t)
+    ks = P.split_keys(key, cfg.num_layers + 2)
+
+    def mk_layer(k):
+        return tf(init_umt5_layer(k, cfg, dtype))
+
+    shapes = jax.eval_shape(mk_layer, ks[1])
+    blocks = jax.tree_util.tree_map(
+        lambda a: jnp.zeros((cfg.num_layers,) + a.shape, a.dtype), shapes)
+
+    @partial(jax.jit, donate_argnums=0)
+    def write(blocks, i, k):
+        lay = mk_layer(k)
+        return jax.tree_util.tree_map(
+            lambda B, x: jax.lax.dynamic_update_index_in_dim(
+                B, x.astype(B.dtype), i, 0), blocks, lay)
+
+    for i in range(cfg.num_layers):
+        blocks = write(blocks, jnp.int32(i), ks[i + 1])
+
+    emb = (jax.random.normal(ks[0], (cfg.vocab_size, cfg.d_model))
+           * 1.0).astype(dtype)
+    return {
+        "embed": emb,
+        "blocks": blocks,
+        "ln_f": P.rms_norm_init(cfg.d_model, dtype=dtype),
+    }
+
+
+def init_umt5_int8(key, cfg: UMT5Config, dtype=jnp.bfloat16) -> dict:
+    """int8 W8A8 serving build of the text encoder: blocks quantized
+    per-layer during construction (xxl: int8 blocks 4.3 GiB + bf16
+    embedding 2.0 GiB = 6.27 GiB measured on chip vs 11.4 GB bf16 —
+    scripts/probe_umt5_int8.py) — small enough to sit NEXT TO an
+    all-int4 DiT on a 16 GB chip, removing the precompute-prompts /
+    second-chip requirement for text encoding (docs/SERVING.md). The
+    embedding table stays bf16: it is a gather, not a matmul — int8
+    would win no MXU rate, only add dequant noise.
+    Quality: tests/test_umt5_int8.py gates output drift vs fp32."""
+    from worldforge_tpu.ops.quant import quantize_tree
+
+    # Explicit predicate: UMT5's T5-style leaf names (wi_0/wi_1/wo) are not
+    # in quant._DEFAULT_KEYS, which would silently leave the 5.6 GiB FFN
+    # stack in bf16 (measured 9.1 GiB on-chip instead of 6.6).
+    _Q = {"q", "k", "v", "o", "wi_0", "wi_1", "wo"}
+    return init_umt5_layerwise(
+        key, cfg, dtype,
+        layer_transform=lambda t: quantize_tree(
+            t, predicate=lambda path: path.split("/")[-1] in _Q))
+
+
 def umt5_encode(params, cfg: UMT5Config, input_ids: jnp.ndarray,
                 attn_mask: Optional[jnp.ndarray] = None,
                 compute_dtype=jnp.bfloat16) -> jnp.ndarray:
