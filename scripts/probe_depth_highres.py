@@ -40,6 +40,14 @@ def main():
     _sync(params["conv_in"]["w"])
     print("SVD UNet bf16 resident (~3 GB)", flush=True)
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=0,
+                    help="attn_chunks ladder start: 0 = try (1, 8, 16) per "
+                         "window; N = only N (exact-math lax.map chunking "
+                         "of the transformer blocks, round-4 capacity fix)")
+    args = ap.parse_args()
+
     # Window-size ladder: 110 is the reference's long-video window; if the
     # full window does not compile on 16 GB, find the capacity edge (the
     # pipeline's sliding windows make any of these a valid serving config).
@@ -51,14 +59,23 @@ def main():
                                 jnp.bfloat16)
         ids = jnp.asarray([[6.0, 127.0, 0.02]], jnp.float32)
 
-        step = jax.jit(lambda p, x, t, c: svd_unet_forward(p, cfg, x, t,
-                                                           c, ids))
-        try:
-            out = step(params, sample, jnp.float32(500.0), ctx)
-            _sync(out)
-        except Exception as e:
-            print(f"FAILED at (1,{f},{cfg.in_channels},{hl},{wl}): "
-                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+        chunk_ladder = (args.chunks,) if args.chunks else (1, 8, 16)
+        step = None
+        for nc in chunk_ladder:
+            cand = jax.jit(lambda p, x, t, c, _nc=nc: svd_unet_forward(
+                p, cfg, x, t, c, ids, attn_chunks=_nc))
+            try:
+                out = cand(params, sample, jnp.float32(500.0), ctx)
+                _sync(out)
+                step = cand
+                print(f"  {f}f compiles at attn_chunks={nc}", flush=True)
+                break
+            except Exception as e:
+                print(f"  {f}f attn_chunks={nc} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+        if step is None:
+            print(f"FAILED at (1,{f},{cfg.in_channels},{hl},{wl}) for all "
+                  f"chunk settings", flush=True)
             continue
         best = float("inf")
         for _ in range(3):

@@ -54,10 +54,18 @@ def main():
             pp, cfg, vv))
         dec = lambda zz, _f=dec_base: _f(params, zz)
         enc = lambda vv, _f=enc_base: _f(params, vv)
-        out = dec(z)
-        _sync(out)
-        oz = enc(video)
-        _sync(oz)
+        try:
+            out = dec(z)
+            _sync(out)
+            oz = enc(video)
+            _sync(oz)
+        except Exception as e:
+            # measured round 4: "pallas" fails Mosaic compile at the
+            # production decode shape (W=106 slice vs the (8,128) tile)
+            print(f"{mode}: FAILS TO COMPILE at production shape "
+                  f"({type(e).__name__}: {str(e).splitlines()[0][:120]})",
+                  flush=True)
+            continue
         fns[mode] = (dec, enc)
         print(f"{mode}: compiled + warm", flush=True)
 
@@ -76,12 +84,14 @@ def main():
             best[("enc", m)] = min(best[("enc", m)],
                                    time.perf_counter() - t0)
     for phase in ("dec", "enc"):
-        row = " | ".join(f"{m} {best[(phase, m)]:.2f} s"
-                         for m in ("3d", "2d", "pallas"))
+        row = " | ".join(f"{m} {best[(phase, m)]:.2f} s" for m in fns)
         a = best[(phase, "3d")]
-        bestm = min(("2d", "pallas"), key=lambda m: best[(phase, m)])
-        print(f"{phase}: {row}  (best alt {bestm}: "
-              f"{(a/best[(phase, bestm)]-1)*100:+.1f}% vs 3d)")
+        alts = [m for m in fns if m != "3d"]
+        if alts:
+            bestm = min(alts, key=lambda m: best[(phase, m)])
+            row += (f"  (best alt {bestm}: "
+                    f"{(a / best[(phase, bestm)] - 1) * 100:+.1f}% vs 3d)")
+        print(f"{phase}: {row}")
 
 
 if __name__ == "__main__":

@@ -72,9 +72,30 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=832)
     ap.add_argument("--frames", type=int, default=49)
+    ap.add_argument("--unguided", action="store_true",
+                    help="plain 50-step CFG denoise, no IRR/FLF/fuse — the "
+                         "720p measurement config (VERDICT r3 item 1b): the "
+                         "fuse path at 720p needs the VAE at 90x160 latents "
+                         "in-loop")
+    ap.add_argument("--split-cfg", action="store_true",
+                    help="run cond and uncond as two dispatches instead of "
+                         "one fused CFG program (halves program temps — the "
+                         "720p capacity fallback; ~25 ms extra dispatch)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny-config CPU smoke of the script logic "
                          "(tiny DiT, narrow VAE, forces the cpu backend)")
+    ap.add_argument("--token-chunk", type=int, default=1,
+                    help="exact-math FFN token chunking (capacity lever "
+                         "for the fused one-program mode: the round-3 "
+                         "fused guided program missed 16 GB by ~36 MB; "
+                         "chunking the 1.12 GB fp32 FFN gates frees far "
+                         "more than that)")
+    ap.add_argument("--quant", choices=("int4", "int6-ffn"), default="int4",
+                    help="DiT capacity recipe: 'int4' = all-int4 W4A8 "
+                         "(~8.1 GB, guided drift ~2%%); 'int6-ffn' = int6 "
+                         "FFN + int4 attention W6A8/W4A8 (~9.5 GB, the "
+                         "<=1e-2 drift-bar recipe — "
+                         "scripts/measure_int4_drift_prod.py)")
     args = ap.parse_args()
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
@@ -93,11 +114,13 @@ def main():
     key = jax.random.key(0)
 
     t0 = time.perf_counter()
+    int6_keys = ("fc1", "fc2") if args.quant == "int6-ffn" else ()
     dit_params = init_wan_dit_w4(key, dit_cfg, dtype=jnp.bfloat16,
-                                 int4_keys=("*",))
-    _sync(dit_params["blocks"]["ffn"]["fc1"]["w4"])
-    print(f"[1] all-int4 14B i2v resident: {time.perf_counter()-t0:.0f} s",
-          flush=True)
+                                 int4_keys=("*",), int6_keys=int6_keys)
+    ffn_key = "w6" if int6_keys else "w4"
+    _sync(dit_params["blocks"]["ffn"]["fc1"][ffn_key])
+    print(f"[1] {args.quant} 14B i2v resident: "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
 
     vae_cfg = (WanVAEConfig(dim=8, num_res_blocks=1) if args.smoke
                else WanVAEConfig.wan_2_1())
@@ -109,7 +132,8 @@ def main():
           f"alongside: {time.perf_counter()-t0:.0f} s", flush=True)
 
     pipe = WanI2VPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
-                          streaming_vae=True, auto_layout=True)
+                          streaming_vae=True, auto_layout=True,
+                          token_chunk=args.token_chunk)
 
     h, w, nf = args.height, args.width, args.frames
     image = jax.random.uniform(jax.random.key(2), (1, 3, h, w),
@@ -131,7 +155,11 @@ def main():
 
     g = GuidanceConfig()  # reference production defaults: guided,
     # guide_steps=15, resample_steps=2, resample_round=20, omega=4, FLF on
-    n_guided = min(g.guide_steps, args.steps)
+    if args.unguided:
+        # plain CFG denoise: one model call per step, no IRR/DSG/fuse
+        g = GuidanceConfig(guided=False, resample_steps=1, omega=0.0,
+                           use_flf=False)
+    n_guided = 0 if args.unguided else min(g.guide_steps, args.steps)
 
     t0 = time.perf_counter()
     latents, condition = pipe.prepare_latents(jax.random.key(8), image, 1,
@@ -164,26 +192,54 @@ def main():
     from worldforge_tpu.sampling.guidance import fuse_latents
     from worldforge_tpu.sampling.unipc import make_flow_unipc_schedule
 
-    def dit_cfg_step(params, lat, cond, t, pe, ne, ie):
-        x = lat.astype(jnp.float32)
-        y = cond.astype(jnp.float32)
-        tb = jnp.broadcast_to(t, (lat.shape[0],))
-        pred = wan_dit_forward(params, dit_cfg, x, tb, pe, clip_fea=ie, y=y,
-                               policy=DEFAULT_POLICY)
-        unc = wan_dit_forward(params, dit_cfg, x, tb, ne, clip_fea=ie, y=y,
-                              policy=DEFAULT_POLICY)
-        return pred + 4.0 * (pred - unc)
+    if args.split_cfg:
+        # 720p capacity fallback: one forward per program, CFG combine as
+        # a third tiny dispatch — program temps ~halve vs the fused step
+        def dit_one(params, lat, cond, t, ctx, ie):
+            x = lat.astype(jnp.float32)
+            y = cond.astype(jnp.float32)
+            tb = jnp.broadcast_to(t, (lat.shape[0],))
+            return wan_dit_forward(params, dit_cfg, x, tb, ctx, clip_fea=ie,
+                                   y=y, policy=DEFAULT_POLICY)
 
-    t0 = time.perf_counter()
-    step_args = (dit_params, latents, condition, jnp.float32(1000.0),
-                 pe, ne, ie)
-    step_c, step_args = compile_auto_layouts(dit_cfg_step, step_args,
-                                             auto_argnums=(0,))
-    dit_params = step_args[0]
-    pipe.dit_params = dit_params
-    print(f"[4] DiT CFG step compiled (+weights relaid): "
-          f"{time.perf_counter()-t0:.0f} s", flush=True)
-    report_memory(step_c)
+        t0 = time.perf_counter()
+        one_args = (dit_params, latents, condition, jnp.float32(1000.0),
+                    pe, ie)
+        one_c, one_args = compile_auto_layouts(dit_one, one_args,
+                                               auto_argnums=(0,))
+        dit_params = one_args[0]
+        pipe.dit_params = dit_params
+        combine = jax.jit(lambda p, u: p + 4.0 * (p - u))
+
+        def step_c(params, lat, cond, t, pe_, ne_, ie_):
+            pred = one_c(params, lat, cond, t, pe_, ie_)
+            unc = one_c(params, lat, cond, t, ne_, ie_)
+            return combine(pred, unc)
+
+        print(f"[4] DiT split-CFG forward compiled (+weights relaid): "
+              f"{time.perf_counter()-t0:.0f} s", flush=True)
+        report_memory(one_c)
+    else:
+        def dit_cfg_step(params, lat, cond, t, pe, ne, ie):
+            x = lat.astype(jnp.float32)
+            y = cond.astype(jnp.float32)
+            tb = jnp.broadcast_to(t, (lat.shape[0],))
+            pred = wan_dit_forward(params, dit_cfg, x, tb, pe, clip_fea=ie,
+                                   y=y, policy=DEFAULT_POLICY)
+            unc = wan_dit_forward(params, dit_cfg, x, tb, ne, clip_fea=ie,
+                                  y=y, policy=DEFAULT_POLICY)
+            return pred + 4.0 * (pred - unc)
+
+        t0 = time.perf_counter()
+        step_args = (dit_params, latents, condition, jnp.float32(1000.0),
+                     pe, ne, ie)
+        step_c, step_args = compile_auto_layouts(dit_cfg_step, step_args,
+                                                 auto_argnums=(0,))
+        dit_params = step_args[0]
+        pipe.dit_params = dit_params
+        print(f"[4] DiT CFG step compiled (+weights relaid): "
+              f"{time.perf_counter()-t0:.0f} s", flush=True)
+        report_memory(step_c)
 
     dec, enc = pipe._vae_decode_fn(), pipe._vae_encode_fn()
 
@@ -226,7 +282,8 @@ def main():
             f"    step {i+1}/{args.steps} @ {time.perf_counter()-t0:.0f} s",
             flush=True) if (i + 1) % 10 == 0 else None)
         out = wan_denoise_loop(model_fn, latents, sched, g,
-                               key=jax.random.key(10), fuse_fn=fuse_fn,
+                               key=jax.random.key(10),
+                               fuse_fn=None if args.unguided else fuse_fn,
                                callback=cb, record_r0=True)
         _sync(out)
         dt = time.perf_counter() - t0

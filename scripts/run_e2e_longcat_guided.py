@@ -53,9 +53,17 @@ def main():
                     help="per-step dispatch instead of the fused scan")
     ap.add_argument("--unguided", action="store_true",
                     help="bisect aid: plain distilled loop, no IRR/FLF/fuse")
+    ap.add_argument("--no-flf", action="store_true",
+                    help="bisect aid: guided (IRR + fuse + DSG) but no "
+                         "Farneback channel selection inside the program")
+    ap.add_argument("--no-irr", action="store_true",
+                    help="bisect aid: guided fuse + DSG off, resample_steps=1")
     ap.add_argument("--clips", type=int, default=1,
                     help="repeat the denoise; clip 2+ is steady-state "
                          "(compiles cached, weights resident)")
+    ap.add_argument("--quant", choices=("int4", "int6-ffn"), default="int4",
+                    help="'int6-ffn' = int6 SwiGLU (w1/w2/w3) + int4 "
+                         "attention — the <=1e-2 drift-bar recipe")
     args = ap.parse_args()
 
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
@@ -69,9 +77,11 @@ def main():
     key = jax.random.key(0)
 
     t0 = time.perf_counter()
-    dit_params = init_longcat_dit_w4(key, cfg, dtype=jnp.bfloat16)
+    int6_keys = ("w1", "w2", "w3") if args.quant == "int6-ffn" else ()
+    dit_params = init_longcat_dit_w4(key, cfg, dtype=jnp.bfloat16,
+                                     int6_keys=int6_keys)
     _sync(jax.tree_util.tree_leaves(dit_params["blocks"])[0])
-    print(f"[1] all-int4 13.6B LongCat resident: "
+    print(f"[1] {args.quant} 13.6B LongCat resident: "
           f"{time.perf_counter()-t0:.0f} s", flush=True)
 
     vae_cfg = WanVAEConfig.wan_2_1()
@@ -98,11 +108,18 @@ def main():
 
     g = GuidanceConfig(flf_backend="longcat")  # guided, guide_steps=15,
     # resample_steps=2, omega=4, FLF on — the reference WF defaults
+    if args.no_flf:
+        g = GuidanceConfig(flf_backend="longcat", use_flf=False)
+    if args.no_irr:
+        g = GuidanceConfig(flf_backend="longcat", use_flf=not args.no_flf,
+                           resample_steps=1)
     if args.unguided:
         g = GuidanceConfig(guided=False, flf_backend="longcat")
         video_ref = mask = None
     mode = ("loop" if args.no_fused else "fused") + \
-           ("-unguided" if args.unguided else "-guided")
+           ("-unguided" if args.unguided else "-guided") + \
+           ("-noflf" if args.no_flf else "") + \
+           ("-noirr" if args.no_irr else "")
     for clip in range(args.clips):
         t0 = time.perf_counter()
         out_lat = pipe.generate_i2v(

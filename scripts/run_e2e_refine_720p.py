@@ -1,0 +1,150 @@
+"""End-to-end PRODUCTION-SCALE 480p->720p LongCat SDEdit refine on one v5e
+— the upscale path, the last BASELINE.json config with no measured number
+(round-3 VERDICT item 1a). Reference: run_upscale.py:54-161
+(spatial_refine_only=True, t_thresh=0.5, 50-step truncated schedule, BSA
+enabled, refinement LoRA), pipeline_longcat_video.py:1271-1511.
+
+Shape (reference-exact): stage-1 480x832 x 49f -> 720p bucket 704x1280
+(get_condition_shape with scale_factor_spatial 8*2*4=64), latents
+16ch x 88 x 160, noise latents padded 13 -> 16 (BSA granularity 4),
+tokens 16 x (44x80) = 56,320 — factors into (4,4,8) BSA chunks at the
+reference's 0.875 sparsity.
+
+Capacity: ALL-int4 W4A8 LongCat blocks (~6.8 GB, init_longcat_dit_w4) +
+bf16 streaming VAE (the documented 16 GB guided-recipe deviation) + AUTO
+weight layouts. Random-init weights / random text embeds — measures
+wall-clock sec/clip for the refine serving path (BSA numerics are gated in
+tests/test_bsa.py, refine semantics vs the reference in tests/test_refine.py).
+
+Run from /root/repo with no JAX_PLATFORMS overrides:
+    python scripts/run_e2e_refine_720p.py [--clips 2]
+"""
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50,
+                    help="base schedule steps; t_thresh truncates to ~half")
+    ap.add_argument("--t-thresh", type=float, default=0.5)
+    ap.add_argument("--frames", type=int, default=49)
+    ap.add_argument("--no-bsa", action="store_true",
+                    help="dense-attention A/B (the reference always runs "
+                         "BSA for refine)")
+    ap.add_argument("--clips", type=int, default=1,
+                    help="repeat; clip 2+ is steady-state (compiles cached)")
+    args = ap.parse_args()
+
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit_w4)
+    from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from worldforge_tpu.pipelines.longcat import LongCatPipeline
+    from worldforge_tpu.utils.buckets import closest_bucket
+
+    t_all = time.perf_counter()
+    cfg = LongCatDiTConfig.longcat_13b()
+    key = jax.random.key(0)
+
+    t0 = time.perf_counter()
+    dit_params = init_longcat_dit_w4(key, cfg, dtype=jnp.bfloat16)
+    _sync(jax.tree_util.tree_leaves(dit_params["blocks"])[0])
+    print(f"[1] all-int4 13.6B LongCat resident: "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
+
+    vae_cfg = WanVAEConfig.wan_2_1()
+    t0 = time.perf_counter()
+    vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=jnp.bfloat16)
+    _sync(vae_params)
+    print(f"[2] bf16 VAE resident alongside: "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
+
+    pipe = LongCatPipeline(dit_params, cfg, vae_params, vae_cfg,
+                           streaming_vae=True, auto_layout=True)
+
+    h_lo, w_lo, nf = 480, 832, args.frames
+    h, w = closest_bucket(h_lo, w_lo, "720p", 64)  # 704 x 1280
+    n_lat = -(-nf // 4)
+    t_lat_pad = -(-n_lat // 4) * 4  # noise latents padded to BSA granularity
+    tokens = t_lat_pad * (h // 16) * (w // 16)
+    print(f"[3] refine target {h}x{w}, latents {t_lat_pad}x{h//8}x{w//8}, "
+          f"tokens {tokens} "
+          f"({'dense' if args.no_bsa else 'BSA 0.875'})", flush=True)
+
+    stage1 = np.random.default_rng(2).uniform(
+        0, 1, (nf, h_lo, w_lo, 3)).astype(np.float32)
+    pe = jax.random.normal(jax.random.key(3), (1, 96, cfg.caption_channels),
+                           jnp.bfloat16)
+    pmask = jnp.ones((1, 96), jnp.float32)
+
+    # wrap the jitted DiT step for per-step medians (sync per call costs
+    # ~25 ms through the tunnel — noise at the ~20 s/step scale here)
+    step_times = []
+    orig_bsa = pipe._dit_fn_bsa
+    orig_dense = pipe._dit_fn
+
+    def timed(fn):
+        def run(*a, **k):
+            t0 = time.perf_counter()
+            out = fn(*a, **k)
+            _sync(out)
+            step_times.append(time.perf_counter() - t0)
+            return out
+        return run
+
+    pipe.__dict__["_dit_fn_bsa"] = timed(orig_bsa)
+    pipe.__dict__["_dit_fn"] = timed(orig_dense)
+
+    for clip in range(args.clips):
+        step_times.clear()
+        t0 = time.perf_counter()
+        lat = pipe.generate_refine(
+            jax.random.key(10 + clip), stage1, pe, pmask,
+            height=h, width=w, num_inference_steps=args.steps,
+            t_thresh=args.t_thresh, spatial_refine_only=True,
+            use_bsa=not args.no_bsa, output_type="latent")
+        _sync(lat)
+        t_denoise = time.perf_counter() - t0
+        tag = "incl. compile" if clip == 0 else "steady-state"
+        med = statistics.median(step_times) if step_times else float("nan")
+        print(f"[4] refine denoise clip {clip+1} ({tag}): {t_denoise:.0f} s "
+              f"over {len(step_times)} DiT steps, median step {med:.2f} s",
+              flush=True)
+
+    t0 = time.perf_counter()
+    video = pipe._vae_decode_fn()(lat)
+    out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+    t_decode = time.perf_counter() - t0
+    print(f"[5] final streaming decode {out.shape}: {t_decode:.1f} s",
+          flush=True)
+
+    ms = jax.local_devices()[0].memory_stats()
+    if ms:
+        print(f"HBM peak: {ms.get('peak_bytes_in_use', 0)/2**30:.2f} GiB / "
+              f"{ms.get('bytes_limit', 0)/2**30:.2f} GiB", flush=True)
+    total = time.perf_counter() - t_all
+    t_clip = t_denoise + t_decode
+    tag = "steady-state" if args.clips > 1 else "incl. compile"
+    print(f"720p refine clip: denoise+decode {t_clip:.0f} s "
+          f"({nf/t_clip:.4f} fps {tag}), total wall from empty chip "
+          f"{total:.0f} s")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,24 @@ def test_depthcrafter_pipeline_single_window(tiny_unet, rng):
     out = pipe(jax.random.key(2), video, num_inference_steps=2,
                window_size=8, overlap=3)
     assert out.shape == (3, 64, 64, 3)
+
+
+def test_svd_unet_attn_chunks_exact(tiny_unet):
+    """attn_chunks (the 16 GB high-res capacity knob, round 4) is exact
+    math: every transformer-block row is independent, so lax.map over
+    leading-axis chunks reproduces the single-pass program up to XLA's
+    per-program reduction reassociation (~1 ulp — the chunked and
+    unchunked programs fuse norms/softmax differently).
+    f=4 chunks over BF=4 rows and (divisor-rounded) over B*H*W."""
+    cfg, params = tiny_unet
+    b, f, hh, ww = 1, 4, 16, 16
+    x = jax.random.normal(jax.random.key(5), (b, f, 8, hh, ww))
+    ctx = jax.random.normal(jax.random.key(6),
+                            (b, f, 1, cfg.cross_attention_dim))
+    ids = jnp.asarray([[7.0, 127.0, 0.02]])
+    ref = np.asarray(svd_unet_forward(params, cfg, x, 1.5, ctx, ids))
+    for nc in (2, 4, 3):  # 3 does not divide BF=4 -> rounds up to 4
+        got = np.asarray(svd_unet_forward(params, cfg, x, 1.5, ctx, ids,
+                                          attn_chunks=nc))
+        np.testing.assert_allclose(got, ref, rtol=3e-6, atol=3e-6,
+                                   err_msg=f"chunks={nc}")

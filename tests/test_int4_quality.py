@@ -105,3 +105,50 @@ def test_longcat_w4_guided_quality(use_distill, bound):
     assert any(s for _, s in sel_fp), sel_fp
     drift = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-8)
     assert 0.0 < drift < bound, f"longcat w4 guided drift {drift:.3f}"
+
+
+@pytest.mark.parametrize("int6_keys,int4_keys,bound", [
+    (("fc1", "fc2"), ("*",), 0.025),  # int6 FFN + int4 attn; measured 0.0113
+    (("*",), (), 0.02),               # all-int6; measured 0.008
+])
+def test_w6_guided_pipeline_quality(int6_keys, int4_keys, bound):
+    """int6 (W6A8) quality gates — the round-4 recipe that HALVES guided
+    drift vs int4 and keeps the FLF channel sets stable (no boundary
+    flips), while still fitting a 16 GB v5e next to the VAE (~9.5 GB
+    blocks; ops/quant.py int6 section). Gates = measured + ~2x margin at
+    this CI shape; production-shape evidence:
+    scripts/measure_int4_drift_prod.py int6 rows (docs/PERF.md — int6-ffn
+    0.0216 / all-int6 0.0167 max-abs at (1,16,13,60,104), vs int4's
+    0.0481/0.0518 same day). The int6 run must also beat the int4 run on
+    the same seeds — the entire point of the 6-bit rung."""
+    cfg = WanDiTConfig.tiny("t2v")
+    key = jax.random.key(11)
+    params = _randomize_head(init_wan_dit(key, cfg, dtype=jnp.float32), key)
+    params_q = quantize_tree(params, int4_keys=int4_keys, int4_group=32,
+                             int6_keys=int6_keys, int6_group=32)
+    assert "w6" in params_q["blocks"]["ffn"]["fc1"]
+    params_4 = quantize_tree(params, int4_keys=("*",), int4_group=32)
+
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    noise_seq = [rng.standard_normal(SHAPE).astype(np.float32)
+                 for _ in range(N_STEPS * 2)]
+    vae = _StubVAE(SHAPE[1], seed=99)
+    tgt = (SHAPE[0], 3) + SHAPE[2:]
+    video_pix = rng.uniform(0, 1, tgt).astype(np.float32)
+    mask_pix = (rng.uniform(0, 1, (SHAPE[0], 1) + SHAPE[2:]) > 0.5
+                ).astype(np.float32)
+
+    sel_fp, sel_q, sel_4 = [], [], []
+    out_fp = _run_guided(params, cfg, x0, list(noise_seq), vae, video_pix,
+                         mask_pix, sel_fp)
+    out_q = _run_guided(params_q, cfg, x0, list(noise_seq), vae, video_pix,
+                        mask_pix, sel_q)
+    out_4 = _run_guided(params_4, cfg, x0, list(noise_seq), vae, video_pix,
+                        mask_pix, sel_4)
+    assert sel_fp == sel_q, f"FLF selection flipped: {sel_fp} vs {sel_q}"
+    drift = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-8)
+    drift4 = np.abs(out_fp - out_4).max() / (np.abs(out_fp).max() + 1e-8)
+    assert 0.0 < drift < bound, \
+        f"w6({int6_keys}) guided drift {drift:.4f} (int4 same seeds {drift4:.4f})"
+    assert drift < drift4, (drift, drift4)

@@ -399,3 +399,99 @@ def test_lora_over_int4_base(rng):
     merged = apply_lora(qbase, lora)
     np.testing.assert_allclose(np.asarray(P.dense(merged["ffn"]["fc1"], x)),
                                np.asarray(P.dense(qbase["ffn"]["fc1"], x)))
+
+
+# ------------------------------------------------------------------ int6
+
+
+def test_int6_pack_roundtrip():
+    """Weights already on the int6 grid survive quantize->dequantize
+    bit-exactly (incl. the stacked [L,in,out] layout and group scales)."""
+    from worldforge_tpu.ops.quant import dequantize_int6, quantize_weight_int6
+
+    rng = np.random.default_rng(0)
+    for shape, group in [((64, 48), 16), ((3, 32, 20), 8), ((48, 12), 128)]:
+        in_dim = shape[-2]
+        g = group if group and (in_dim // 4) % group == 0 else in_dim
+        q = rng.integers(-31, 32, size=shape).astype(np.float32)
+        q.reshape(*shape[:-2], in_dim // g, g, shape[-1])[..., 0, :] = 31
+        # ^ every scale group holds a |q|=31 so max|w|/31 recovers s exactly
+        s = np.exp(rng.standard_normal(
+            (*shape[:-2], in_dim // g, shape[-1]))).astype(np.float32)
+        w = (q.reshape(*shape[:-2], in_dim // g, g, shape[-1])
+             * s[..., :, None, :]).reshape(shape)
+        w6, s6 = quantize_weight_int6(jnp.asarray(w), group=group)
+        assert w6.dtype == jnp.uint8
+        assert w6.shape == (*shape[:-2], 3, in_dim // 4, shape[-1])
+        back = np.asarray(dequantize_int6({"w6": w6, "scale6": s6},
+                                          dtype=jnp.float32))
+        np.testing.assert_allclose(back, w, rtol=2e-6, atol=2e-6)
+
+
+def test_dense_q6_close_to_fp(rng):
+    """int6 error sits between int8 (~3%) and int4 (~8%): the 31-level grid
+    is ~4.4x finer than int4's 7, so gate at 4%. core dense dispatches."""
+    from worldforge_tpu.ops.quant import dense_q6, quantize_dense_int6
+
+    k = jax.random.key(0)
+    p = P.dense_init(k, 256, 512)
+    x = jnp.asarray(rng.standard_normal((4, 64, 256)), jnp.float32)
+    ref = np.asarray(P.dense(p, x))
+    q = quantize_dense_int6(p, group=64)
+    got = np.asarray(dense_q6(q, x))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert rel < 0.04, rel
+    np.testing.assert_allclose(np.asarray(P.dense(q, x)), got, rtol=1e-6)
+    # and it must be strictly more accurate than the int4 grid on the
+    # same weights (the whole point of the 6-bit rung)
+    from worldforge_tpu.ops.quant import dense_q4, quantize_dense_int4
+    got4 = np.asarray(dense_q4(quantize_dense_int4(p, group=64), x))
+    rel4 = np.abs(got4 - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert rel < rel4, (rel, rel4)
+
+
+def test_quantize_tree_int6_mixed(rng):
+    """int6_keys routes matched leaves to W6 and takes precedence over
+    int4_keys (the drift-bar recipe: int6 FFN + int4 attention)."""
+    tree = {"qkv": P.dense_init(jax.random.key(0), 64, 192),
+            "fc1": P.dense_init(jax.random.key(1), 64, 128),
+            "adaln": P.dense_init(jax.random.key(2), 32, 384)}
+    qt = quantize_tree(tree, int4_keys=("*",), int4_group=16,
+                       int6_keys=("fc1", "fc2"), int6_group=16)
+    assert "w4" in qt["qkv"] and "w6" in qt["fc1"]
+    assert is_quantized(qt["fc1"]) and not is_quantized(qt["adaln"])
+
+
+def test_init_wan_dit_w4_int6_ffn():
+    """The layerwise capacity builder with int6_keys: FFN at 6-bit, the
+    attention projections at int4, conditioning embeddings still W8A8."""
+    from worldforge_tpu.models.wan.dit import WanDiTConfig, init_wan_dit_w4
+
+    cfg = WanDiTConfig.tiny("i2v")
+    p = init_wan_dit_w4(jax.random.key(0), cfg, dtype=jnp.float32,
+                        int4_keys=("*",), int4_group=16,
+                        int6_keys=("fc1", "fc2"), int6_group=16)
+    assert "w6" in p["blocks"]["ffn"]["fc1"]
+    assert "w4" in p["blocks"]["self_attn"]["q"]
+    assert "w8" in p["text_embedding"]["fc1"]
+
+
+def test_lora_over_int6_base(rng):
+    """LoRA shape derivation over the int6 plane-packed layout."""
+    import jax
+    from worldforge_tpu.core import params as P
+    from worldforge_tpu.ops.quant import quantize_tree
+    from worldforge_tpu.training.lora import apply_lora, init_lora
+
+    base = {"ffn": {"fc1": P.dense_init(jax.random.key(6), 64, 96,
+                                        dtype=jnp.float32)}}
+    qbase = quantize_tree(base, predicate=lambda p: True,
+                          int6_keys=("fc1",), int6_group=16)
+    assert "w6" in qbase["ffn"]["fc1"]
+    lora = init_lora(jax.random.key(7), qbase, rank=4, targets=("fc1",))
+    assert lora["ffn/fc1"]["down"].shape == (64, 4)
+    assert lora["ffn/fc1"]["up"].shape == (4, 96)
+    x = jax.random.normal(jax.random.key(8), (2, 64), jnp.float32)
+    merged = apply_lora(qbase, lora)
+    np.testing.assert_allclose(np.asarray(P.dense(merged["ffn"]["fc1"], x)),
+                               np.asarray(P.dense(qbase["ffn"]["fc1"], x)))

@@ -132,3 +132,136 @@ def test_added_time_ids_batch_isolation():
     out = np.asarray(svd_unet_forward(params, cfg, sample, 500.0, ctx, ids2))
     assert np.abs(out[0] - base[0]).max() > 1e-5
     np.testing.assert_array_equal(out[1], base[1])
+
+
+# ---------------------------------------------------- temporal block oracle
+
+
+def _np_dense(p, x):
+    y = x @ np.asarray(p["w"], np.float32)
+    if "b" in p:
+        y = y + np.asarray(p["b"], np.float32)
+    return y
+
+
+def _np_layer_norm(p, x, eps=1e-6):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (x - mean) / np.sqrt(var + eps)
+    return y * np.asarray(p["scale"], np.float32) + np.asarray(
+        p["bias"], np.float32)
+
+
+def _np_geglu(p, x):
+    h = _np_dense(p["proj"], x)
+    a, g = np.split(h, 2, axis=-1)
+    from math import erf, sqrt
+    gelu = np.vectorize(lambda v: 0.5 * v * (1.0 + erf(v / sqrt(2.0))))
+    return _np_dense(p["out"], a * gelu(g).astype(np.float32))
+
+
+def _np_attn(p, x, ctx, heads):
+    """Explicit-loop scalar attention: per batch row, per head, per query —
+    catches a transposed projection or a softmax over the wrong axis that a
+    vectorized re-statement of the same einsum would replicate."""
+    b, s, d = x.shape
+    dh = d // heads
+    q = x @ np.asarray(p["to_q"]["w"], np.float32)
+    k = ctx @ np.asarray(p["to_k"]["w"], np.float32)
+    v = ctx @ np.asarray(p["to_v"]["w"], np.float32)
+    out = np.zeros((b, s, d), np.float32)
+    for bi in range(b):
+        for h in range(heads):
+            qs = q[bi, :, h * dh:(h + 1) * dh]
+            ks = k[bi, :, h * dh:(h + 1) * dh]
+            vs = v[bi, :, h * dh:(h + 1) * dh]
+            for i in range(s):
+                logits = np.array([qs[i] @ ks[j] / np.sqrt(dh)
+                                   for j in range(ks.shape[0])])
+                w = np.exp(logits - logits.max())
+                w /= w.sum()
+                out[bi, i, h * dh:(h + 1) * dh] = sum(
+                    w[j] * vs[j] for j in range(ks.shape[0]))
+    return _np_dense(p["to_out"], out)
+
+
+def test_temporal_block_scalar_oracle():
+    """Independent numpy re-derivation (explicit loops) of the temporal
+    transformer block — the block the layout manifest cannot validate
+    numerically (round-3 VERDICT item 6; behavioral reference: diffusers
+    TemporalBasicTransformerBlock, used by DepthCrafter's UNet via
+    /root/reference/DepthCrafter/DepthCrafter/depthcrafter/unet.py:8-142):
+    ff_in residual -> self-attn over FRAMES -> cross-attn to the first
+    frame's CLIP context -> ff, all with pre-LayerNorms."""
+    from worldforge_tpu.models.depthcrafter.unet import (_temporal_block,
+                                                         _temporal_block_init)
+
+    dim, ctx_dim, heads, n, f = 4, 6, 2, 3, 5
+    p = _temporal_block_init(jax.random.key(3), dim, ctx_dim, jnp.float32)
+    x = np.asarray(jax.random.normal(jax.random.key(4), (n, f, dim)),
+                   np.float32)
+    tctx = np.asarray(jax.random.normal(jax.random.key(5), (n, 2, ctx_dim)),
+                      np.float32)
+
+    # numpy oracle, step by step
+    h = x + _np_geglu(p["ff_in"], _np_layer_norm(p["norm_in"], x))
+    hn = _np_layer_norm(p["norm1"], h)
+    h = h + _np_attn(p["attn1"], hn, hn, heads)
+    h = h + _np_attn(p["attn2"], _np_layer_norm(p["norm2"], h), tctx, heads)
+    want = h + _np_geglu(p["ff"], _np_layer_norm(p["norm3"], h))
+
+    got = np.asarray(_temporal_block(p, jnp.asarray(x), jnp.asarray(tctx),
+                                     heads))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_st_transformer_regrouping_pins_frame_axis(monkeypatch):
+    """Regrouping oracle for the [B,F,HW,C] <-> [B*HW,F,C] transpose pair
+    in _st_transformer (the manifest-blind spot: a wrong transpose order
+    would scramble (frame, pixel) pairs while keeping every shape legal).
+
+    Technique: stub the spatial block to identity and the temporal block
+    to (x + x frame-reversed), make proj_in/proj_out identity and fpos
+    zero, saturate the blender temporal. Then
+        out_B - out_A == (out_A - residual) frame-reversed
+    holds IFF axis 1 of the regrouped tensor is the FRAME axis at fixed
+    pixel in both directions — any transpose/reshape-order bug breaks the
+    (f, p) correspondence."""
+    import worldforge_tpu.models.depthcrafter.unet as unet_mod
+    from worldforge_tpu.models.depthcrafter.unet import (_st_transformer,
+                                                         _st_transformer_init)
+
+    c, heads, f, hh, ww = 8, 2, 3, 4, 4
+    p = _st_transformer_init(jax.random.key(7), c, heads, c, 1, jnp.float32)
+    p["time_mixer"]["mix_factor"] = jnp.asarray([-30.0], jnp.float32)
+    eye = jnp.eye(c, dtype=jnp.float32)
+    for name in ("proj_in", "proj_out"):
+        p[name]["w"] = eye
+        p[name]["b"] = jnp.zeros((c,), jnp.float32)
+    # fpos = fc2(silu(fc1(sinusoid))): zero both -> fpos = 0
+    p["time_pos_embed"]["fc1"]["w"] = jnp.zeros_like(
+        p["time_pos_embed"]["fc1"]["w"])
+    p["time_pos_embed"]["fc2"]["w"] = jnp.zeros_like(
+        p["time_pos_embed"]["fc2"]["w"])
+    p["time_pos_embed"]["fc2"]["b"] = jnp.zeros_like(
+        p["time_pos_embed"]["fc2"]["b"])
+
+    monkeypatch.setattr(unet_mod, "_basic_block",
+                        lambda blk, x, ctx, heads: x)
+    ctx = jax.random.normal(jax.random.key(8), (f, 2, c), jnp.float32)
+    x = jax.random.normal(jax.random.key(9), (f, hh, ww, c), jnp.float32)
+
+    monkeypatch.setattr(unet_mod, "_temporal_block",
+                        lambda blk, ht, tctx, heads: ht)
+    out_a = np.asarray(_st_transformer(p, x, ctx, f, heads, 1e-5))
+
+    monkeypatch.setattr(unet_mod, "_temporal_block",
+                        lambda blk, ht, tctx, heads: ht + ht[:, ::-1])
+    out_b = np.asarray(_st_transformer(p, x, ctx, f, heads, 1e-5))
+
+    h = out_a - np.asarray(x)           # the pre-residual stream
+    delta = out_b - out_a               # the frame-reversed copy
+    np.testing.assert_allclose(delta, h[::-1], rtol=1e-5, atol=1e-5)
+    # sanity: the stream is frame-asymmetric, so a scrambled regroup
+    # could not pass by accident
+    assert np.abs(h - h[::-1]).max() > 1e-3

@@ -108,3 +108,29 @@ def test_layer_forward_standalone(tiny):
     assert np.isfinite(np.asarray(out)).all()
     # residual structure: zero-gated layer == pure cross-attn residual change
     assert float(jnp.abs(out - x).max()) > 0
+
+
+def test_token_chunk_exact(tiny):
+    """token_chunk (the fused-program 16 GB capacity knob, round 4) is
+    exact math: the FFN rows are independent, so lax.map over token chunks
+    reproduces the single-pass forward up to XLA reassociation (~1 ulp).
+    Tokens = 3*4*4 = 48; chunks 2, 3; a non-divisor (5) must fall back to
+    the unchunked path bitwise."""
+    cfg, params = tiny
+    # the head is zero-init -> perturb so the comparison is not vacuous
+    h = params["head"]["head"]
+    params = dict(params)
+    params["head"] = dict(params["head"],
+                          head=dict(h, w=0.1 * jax.random.normal(
+                              jax.random.key(9), h["w"].shape)))
+    x, y, t, ctx, clip = _inputs(cfg)
+    ref = np.asarray(wan_dit_forward(params, cfg, x, t, ctx, clip_fea=clip,
+                                     y=y))
+    for nc in (2, 3):
+        got = np.asarray(wan_dit_forward(params, cfg, x, t, ctx,
+                                         clip_fea=clip, y=y, token_chunk=nc))
+        np.testing.assert_allclose(got, ref, rtol=3e-6, atol=3e-6,
+                                   err_msg=f"token_chunk={nc}")
+    got5 = np.asarray(wan_dit_forward(params, cfg, x, t, ctx, clip_fea=clip,
+                                      y=y, token_chunk=5))
+    np.testing.assert_array_equal(got5, ref)  # 48 % 5 != 0 -> same program

@@ -46,6 +46,9 @@ def dense(p: dict, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
     elif "w4" in p:  # int4 weight-only capacity mode (ops/quant.py)
         from worldforge_tpu.ops.quant import dense_q4
         y = dense_q4(p, x, out_dtype=compute_dtype or x.dtype)
+    elif "w6" in p:  # int6 capacity mode, W6A8 execution (ops/quant.py)
+        from worldforge_tpu.ops.quant import dense_q6
+        y = dense_q6(p, x, out_dtype=compute_dtype or x.dtype)
     else:
         w = p["w"]
         if (compute_dtype == jnp.float32 and w.dtype == jnp.bfloat16):

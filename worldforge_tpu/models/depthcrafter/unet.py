@@ -298,7 +298,30 @@ def _st_transformer_init(key, c, heads, ctx_dim, layers, dtype):
     }
 
 
-def _st_transformer(p, x, ctx, num_frames, heads, eps):
+def _map_chunked(fn, n, *arrs):
+    """Run fn over `n` equal chunks of the leading axis via lax.map —
+    EXACT math (every row is independent through fn), but XLA allocates
+    the transformer-block transients (q/k/v, GEGLU dim*8 inner) per chunk
+    instead of for the whole batch. The capacity lever that lets the SVD
+    UNet compile the published 1024x576 high-res windows on 16 GB
+    (docs/PERF.md round-3: 110/72/48-frame windows rejected at compile —
+    the full-res GEGLU inner alone is ~5 GB at 110f). Same pattern as the
+    LongCat token-chunked FFN. The requested count rounds UP to the
+    nearest divisor of the leading axis (the spatial blocks chunk over
+    B*F while the temporal blocks chunk over B*H*W — one knob must serve
+    both); axes with no divisor >= n run unchunked."""
+    lead = arrs[0].shape[0]
+    if n > 1 and lead % n:
+        d = next((d for d in range(n, lead + 1) if lead % d == 0), 1)
+        n = d if d <= 4 * n else 1  # prime-ish lead: don't serialize rows
+    if n <= 1 or lead % n:
+        return fn(*arrs)
+    split = tuple(a.reshape(n, lead // n, *a.shape[1:]) for a in arrs)
+    out = jax.lax.map(lambda t: fn(*t), split)
+    return out.reshape(lead, *out.shape[2:])
+
+
+def _st_transformer(p, x, ctx, num_frames, heads, eps, chunks=1):
     """TransformerSpatioTemporalModel: x [B*F, H, W, C], ctx [B*F, L, D]."""
     bf, hh, ww, c = x.shape
     b = bf // num_frames
@@ -321,11 +344,15 @@ def _st_transformer(p, x, ctx, num_frames, heads, eps):
         P.dense(p["time_pos_embed"]["fc1"], fpos)))  # [F, C]
 
     for blk, tblk in zip(p["blocks"], p["temporal_blocks"]):
-        h = _basic_block(blk, h, ctx, heads)
+        h = _map_chunked(
+            lambda hc, cc, _blk=blk: _basic_block(_blk, hc, cc, heads),
+            chunks, h, ctx)
         ht = h.reshape(b, num_frames, hh * ww, c).transpose(0, 2, 1, 3)
         ht = ht.reshape(b * hh * ww, num_frames, c)
         ht = ht + fpos[None]
-        ht = _temporal_block(tblk, ht, time_ctx, heads)
+        ht = _map_chunked(
+            lambda hc, cc, _blk=tblk: _temporal_block(_blk, hc, cc, heads),
+            chunks, ht, time_ctx)
         ht = ht.reshape(b, hh * ww, num_frames, c).transpose(0, 2, 1, 3)
         ht = ht.reshape(bf, hh * ww, c)
         h = _alpha_blend(p["time_mixer"], h, ht, switch=False)
@@ -404,11 +431,18 @@ def init_svd_unet(key, cfg: SVDUNetConfig, dtype=jnp.float32) -> dict:
 
 
 def svd_unet_forward(params, cfg: SVDUNetConfig, sample, timestep,
-                     encoder_hidden_states, added_time_ids):
+                     encoder_hidden_states, added_time_ids,
+                     attn_chunks: int = 1):
     """sample: [B, F, C_in, H, W]; timestep: scalar or [B];
     encoder_hidden_states: [B, F, 1, 1024] per-frame CLIP tokens
     (DepthCrafter unet.py:61 flattens [B,T,1024] -> [B*T,1,1024]);
-    added_time_ids: [B, 3]. Returns [B, F, C_out, H, W]."""
+    added_time_ids: [B, 3]. Returns [B, F, C_out, H, W].
+
+    attn_chunks: exact-math capacity knob — every spatio-temporal
+    transformer block runs over that many leading-axis chunks via lax.map
+    (see _map_chunked). 1 = the original single-pass program; ~8-16 is
+    what lets the published 1024x576 high-res windows compile on a 16 GB
+    v5e (the reference needs 26 GB for this config, README.md:180-184)."""
     b, f, cin, H, W = sample.shape
     eps = cfg.norm_eps
 
@@ -436,7 +470,8 @@ def svd_unet_forward(params, cfg: SVDUNetConfig, sample, timestep,
             x = _st_res(res, x, emb, f, eps)
             if blk["attentions"]:
                 x = _st_transformer(blk["attentions"][j], x, ctx, f,
-                                    cfg.num_attention_heads[i], eps)
+                                    cfg.num_attention_heads[i], eps,
+                                    chunks=attn_chunks)
             res_stack.append(x)
         if "downsampler" in blk:
             x = _conv2d(blk["downsampler"], x, stride=2)
@@ -445,7 +480,8 @@ def svd_unet_forward(params, cfg: SVDUNetConfig, sample, timestep,
     mid = params["mid_block"]
     x = _st_res(mid["resnets"][0], x, emb, f, eps)
     x = _st_transformer(mid["attentions"][0], x, ctx, f,
-                        cfg.num_attention_heads[-1], eps)
+                        cfg.num_attention_heads[-1], eps,
+                        chunks=attn_chunks)
     x = _st_res(mid["resnets"][1], x, emb, f, eps)
 
     for i, blk in enumerate(params["up_blocks"]):
@@ -455,7 +491,8 @@ def svd_unet_forward(params, cfg: SVDUNetConfig, sample, timestep,
             x = _st_res(res, x, emb, f, eps)
             if blk["attentions"]:
                 x = _st_transformer(blk["attentions"][j], x, ctx, f,
-                                    cfg.num_attention_heads[n - 1 - i], eps)
+                                    cfg.num_attention_heads[n - 1 - i], eps,
+                                    chunks=attn_chunks)
         if "upsampler" in blk:
             bf2, hh, ww, c = x.shape
             x = jax.image.resize(x, (bf2, hh * 2, ww * 2, c), "nearest")

@@ -182,16 +182,19 @@ def init_longcat_dit_int8(key, cfg: LongCatDiTConfig,
 
 
 def init_longcat_dit_w4(key, cfg: LongCatDiTConfig, dtype=jnp.bfloat16,
-                        int4_keys=("*",), int4_group: int = 128) -> dict:
+                        int4_keys=("*",), int4_group: int = 128,
+                        int6_keys=(), int6_group: int = 128) -> dict:
     """int4 (W4A8) capacity build, mirroring wan.dit.init_wan_dit_w4: the
     all-int4 13.6B blocks land ~6.8 GB — the build that leaves room for
     the VAE on a 16 GB chip (the scheduler calls the VAE every guided
-    step, scheduling_flow_match_euler_discrete.py:860-889)."""
+    step, scheduling_flow_match_euler_discrete.py:860-889). ``int6_keys``
+    upgrades matching leaves to the 6-bit rung (see wan.init_wan_dit_w4)."""
     from worldforge_tpu.ops.quant import quantize_tree
 
     def tf(tree):
         return quantize_tree(tree, int4_keys=int4_keys,
-                             int4_group=int4_group)
+                             int4_group=int4_group,
+                             int6_keys=int6_keys, int6_group=int6_group)
 
     return init_longcat_dit_layerwise(key, cfg, dtype, layer_transform=tf)
 

@@ -217,17 +217,22 @@ def init_wan_dit_int8(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> dict:
 
 
 def init_wan_dit_w4(key, cfg: WanDiTConfig, dtype=jnp.bfloat16,
-                    int4_keys=("fc1", "fc2"), int4_group: int = 128) -> dict:
+                    int4_keys=("fc1", "fc2"), int4_group: int = 128,
+                    int6_keys=(), int6_group: int = 128) -> dict:
     """Mixed-precision capacity build: weight-only int4 on ``int4_keys``
     (default the FFN, 35% of layer params), W8A8 on the other big matmuls.
     This is what fits the i2v variant on a 16 GB chip — its k_img/v_img
     branches push all-int8 to ~16.1 GB (OOM); FFN-int4 lands ~13.6 GB.
-    int4_keys=("*",) quantizes every big matmul to int4 (~8 GB)."""
+    int4_keys=("*",) quantizes every big matmul to int4 (~8 GB).
+    ``int6_keys`` selects the 6-bit rung instead (precedence over int4
+    when both match): int6_keys=("fc1","fc2") + int4_keys=("*",) is the
+    drift-bar recipe — int6 FFN + int4 attention, ~9.5 GB blocks."""
     from worldforge_tpu.ops.quant import quantize_tree
 
     def tf(tree):
         return quantize_tree(tree, int4_keys=int4_keys,
-                             int4_group=int4_group)
+                             int4_group=int4_group,
+                             int6_keys=int6_keys, int6_group=int6_group)
 
     return init_wan_dit_layerwise(key, cfg, dtype, layer_transform=tf)
 
@@ -370,10 +375,29 @@ def _modulated_ln(xf, sc, sh, eps, out_dtype, mesh):
     return (h * (1.0 + sc) + sh).astype(out_dtype)
 
 
+def _ffn_token_chunked(p, h3, token_chunk: int = 1):
+    """Wan FFN with optional exact-math token tiling via lax.map (the
+    LongCat token_chunk pattern, models/longcat/dit.py): shrinks the
+    [N, ffn_dim] gate transient by the chunk factor — at 20,280 tokens the
+    fp32 gate is 1.12 GB, the largest single temp in the fused guided
+    program (which missed 16 GB by ~36 MB in round 3). Only the flat
+    [B, N, C] layout chunks; the 2D-CP grid layout is already sharded."""
+    def f(xc):
+        return P.dense(p["fc2"], P.gelu_tanh(P.dense(p["fc1"], xc)))
+
+    if token_chunk > 1 and h3.ndim == 3 and h3.shape[1] % token_chunk == 0:
+        b, n, c = h3.shape
+        xs = h3.reshape(b, token_chunk, n // token_chunk, c).swapaxes(0, 1)
+        y = jax.lax.map(f, xs)
+        return y.swapaxes(0, 1).reshape(b, n, -1)
+    return f(h3)
+
+
 def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
                           img_ctx_len: int = 0,
                           policy: Policy = DEFAULT_POLICY,
-                          attn_impl: str = "auto", mesh=None, grid3d=None):
+                          attn_impl: str = "auto", mesh=None, grid3d=None,
+                          token_chunk: int = 1):
     """One WanAttentionBlock. x: [B, L, dim] (fp32 residual stream) — or
     [B, F, H', W', dim] under 2D-CP, where the stream keeps its sharded grid
     layout between blocks. e0: [B, 6, dim] fp32, context: [B, Lc, dim]."""
@@ -396,7 +420,8 @@ def wan_dit_layer_forward(p, cfg: WanDiTConfig, x, e0, context, cos, sin,
 
     h3 = _modulated_ln(xf, sc_ff, sh_ff, cfg.eps, policy.compute_dtype,
                        mesh)
-    y = P.dense(p["ffn"]["fc2"], P.gelu_tanh(P.dense(p["ffn"]["fc1"], h3)))
+    y = _ffn_token_chunked(p["ffn"], h3,
+                           token_chunk if mesh is None else 1)
     xf = xf + y.astype(jnp.float32) * g_ff
     return xf
 
@@ -431,7 +456,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
                     policy: Policy = DEFAULT_POLICY,
                     attn_impl: str = "auto",
                     remat: bool = False,
-                    mesh=None):
+                    mesh=None, token_chunk: int = 1):
     """Full WanModel forward (model.py:493-582).
 
     x: [B, 16, F, H, W] noisy latents; y: [B, 20, F, H, W] i2v conditioning
@@ -505,7 +530,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, x, t, context,
     def body(carry, layer):
         out = wan_dit_layer_forward(layer, cfg, carry, e0, ctx, cos, sin,
                                     img_ctx_len, policy, attn_impl, mesh,
-                                    grid)
+                                    grid, token_chunk=token_chunk)
         if use_cp2d:
             # re-assert the grid sharding on the carry (a no-op reshard:
             # every op in the layer preserved it) so GSPMD cannot pick a

@@ -79,7 +79,7 @@ def dense_q8(p: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
 
 
 def is_quantized(p) -> bool:
-    return isinstance(p, dict) and ("w8" in p or "w4" in p)
+    return isinstance(p, dict) and ("w8" in p or "w4" in p or "w6" in p)
 
 
 # ------------------------------------------------------------------ int4
@@ -176,6 +176,112 @@ def _requantize_int4_to_int8(p: dict) -> jnp.ndarray:
         *u.shape[:-2], half * 2, out_dim)
 
 
+# ------------------------------------------------------------------ int6
+# int6 weight storage (0.75 B/param) with the same W-A8 int8 MXU execution
+# as int4. No reference counterpart (the reference serves bf16). Purpose:
+# the precision rung between int4 (0.5 B, ~2% guided drift at the
+# production latent shape — docs/PERF.md round-3 row) and int8 (1.0 B,
+# 0.27% drift but 16.1 GB for the Wan i2v, OOM on a 16 GB v5e). 31 levels
+# per side vs int4's 7 cut the dominant FFN rounding error ~4.4x, which is
+# what brings the guided drift under the BASELINE.json 1e-2 bar while the
+# blocks still fit next to the VAE (int6-FFN + int4-attention ~9.5 GB).
+#
+# Packing: 4 rows -> 3 bytes, plane layout [.., 3, in/4, out]. Row i of
+# quarter q (rows i, i+in/4, i+2in/4, i+3in/4) shares byte column i of the
+# three planes; unpack is 8 elementwise bit ops + one contiguous concat —
+# the same no-strided-scatter property as the round-3 int4 halves layout.
+
+
+def quantize_weight_int6(w: jnp.ndarray, group: int = 128):
+    """[.., in, out] -> (uint8 [.., 3, in/4, out] packed planes,
+    fp32 scale [.., in/group, out]). Symmetric [-31, 31] per (group, out)
+    cell; values stored offset by +32 (6 significant bits). Falls back to
+    per-output-channel scaling when ``group`` does not divide in/4."""
+    wf = w.astype(jnp.float32)
+    in_dim, out_dim = wf.shape[-2], wf.shape[-1]
+    if in_dim % 4:
+        raise ValueError(f"int6 packing needs in-dim % 4 == 0, got {in_dim}")
+    g = group if group and (in_dim // 4) % group == 0 else in_dim
+    ng = in_dim // g
+    wg = wf.reshape(*wf.shape[:-2], ng, g, out_dim)
+    s = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 31.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / s[..., :, None, :]), -31, 31)
+    q = q.reshape(*wf.shape[:-2], in_dim, out_dim)
+    v = (q + 32.0).astype(jnp.uint8)  # [1, 63]
+    quarter = in_dim // 4
+    v0 = v[..., 0 * quarter:1 * quarter, :]
+    v1 = v[..., 1 * quarter:2 * quarter, :]
+    v2 = v[..., 2 * quarter:3 * quarter, :]
+    v3 = v[..., 3 * quarter:4 * quarter, :]
+    b0 = v0 | ((v1 & jnp.uint8(0x3)) << 6)
+    b1 = (v1 >> 2) | ((v2 & jnp.uint8(0xF)) << 4)
+    b2 = (v2 >> 4) | (v3 << 2)
+    return jnp.stack([b0, b1, b2], axis=-3), s
+
+
+def _unpack_int6(u: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [.., 3, in/4, out] -> int8 codes [.., in, out] in [-31, 31]
+    (contiguous quarters concat — no row interleave)."""
+    b0, b1, b2 = u[..., 0, :, :], u[..., 1, :, :], u[..., 2, :, :]
+    v0 = b0 & jnp.uint8(63)
+    v1 = (b0 >> 6) | ((b1 & jnp.uint8(0xF)) << 2)
+    v2 = (b1 >> 4) | ((b2 & jnp.uint8(0x3)) << 4)
+    v3 = b2 >> 2
+    q = jnp.concatenate([v0, v1, v2, v3], axis=-2)
+    return q.astype(jnp.int8) - 32
+
+
+def quantize_dense_int6(p: dict, group: int = 128) -> dict:
+    """{"w": [in,out], ...} -> {"w6", "scale6", "scale8", "b"?, ...}.
+    ``scale8`` is the per-output-channel int8 requantization scale for the
+    W6A8 execution path: s8 = 31 * max over groups of scale6 / 127."""
+    w6, s = quantize_weight_int6(p["w"], group=group)
+    s8 = jnp.maximum(31.0 * jnp.max(s, axis=-2) / 127.0, 1e-8)
+    out = {k: v for k, v in p.items() if k != "w"}
+    out.update(w6=w6, scale6=s, scale8=s8)
+    if "b" in p:
+        out["b"] = p["b"].astype(jnp.float32)
+    return out
+
+
+def dequantize_int6(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Unpack {"w6", "scale6"} back to a dense [.., in, out] weight."""
+    q = _unpack_int6(p["w6"])
+    in_dim, out_dim = q.shape[-2], q.shape[-1]
+    s = p["scale6"].astype(jnp.float32)
+    ng = s.shape[-2]
+    wq = q.reshape(*q.shape[:-2], ng, in_dim // ng, out_dim)
+    wq = wq.astype(jnp.float32) * s[..., :, None, :]
+    return wq.reshape(*q.shape[:-2], in_dim, out_dim).astype(dtype)
+
+
+def _requantize_int6_to_int8(p: dict) -> jnp.ndarray:
+    """int6 codes -> per-output-channel int8 weights for the MXU int8 dot:
+    w8 = round(q * scale6 / scale8); ratio <= 127/31 so no overflow."""
+    q = _unpack_int6(p["w6"])
+    in_dim, out_dim = q.shape[-2], q.shape[-1]
+    ratio = (p["scale6"].astype(jnp.float32)
+             / p["scale8"].astype(jnp.float32)[..., None, :])
+    ng = ratio.shape[-2]
+    qg = q.reshape(*q.shape[:-2], ng, in_dim // ng, out_dim)
+    w8 = jnp.round(qg.astype(jnp.float32) * ratio[..., :, None, :])
+    return jnp.clip(w8, -127, 127).astype(jnp.int8).reshape(
+        *q.shape[:-2], in_dim, out_dim)
+
+
+def dense_q6(p: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """int6-stored matmul, W6A8 execution: requantize weights to int8 on
+    the fly and run the 2x-rate int8 MXU dot (same path as dense_q4)."""
+    w8 = _requantize_int6_to_int8(p)
+    x8, sx = quantize_activations(x)
+    acc = lax.dot_general(x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * p["scale8"].astype(jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
+
+
 def dense_q4(p: dict, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
     """int4-stored matmul. With the precomputed ``scale8`` present (all
     round-3+ trees): W4A8 — requantize weights to int8 on the fly and run
@@ -222,6 +328,7 @@ def _default_pred(path: str) -> bool:
 
 def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None,
                   int4_keys: tuple = (), int4_group: int = 128,
+                  int6_keys: tuple = (), int6_group: int = 128,
                   downcast_adaln: bool = True):
     """Recursively convert dense param dicts whose '/'-joined dict path
     matches `predicate` (default: the big attention/FFN matmuls, excluding
@@ -229,7 +336,10 @@ def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None,
     output heads stay unquantized. Matched leaves whose final path key is
     in ``int4_keys`` (or all of them, int4_keys=("*",)) get weight-only
     int4 instead of W8A8 — the capacity mode for models whose int8
-    footprint exceeds HBM (Wan-14B i2v).
+    footprint exceeds HBM (Wan-14B i2v). ``int6_keys`` works the same at
+    6-bit storage (precision rung between int4 and int8; takes precedence
+    over int4_keys when a leaf matches both — the intended drift-bar
+    recipe is int6 FFN + int4 attention, see dense_q6).
 
     ``downcast_adaln`` (serving-build capacity lever, on by default):
     additionally store per-BLOCK adaLN dense weights as bf16 — never the
@@ -245,8 +355,10 @@ def quantize_tree(params, predicate: Optional[Callable[[str], bool]] = None,
                     and getattr(node["w"], "ndim", 0) in (2, 3) and pred(path):
                 leaf = path.split("/")[-1]
                 parts = path.split("/")
-                int4_ok = not any(p in _INT4_EXCLUDE_PATHS for p in parts)
-                if int4_ok and ("*" in int4_keys or leaf in int4_keys):
+                sub8_ok = not any(p in _INT4_EXCLUDE_PATHS for p in parts)
+                if sub8_ok and ("*" in int6_keys or leaf in int6_keys):
+                    return quantize_dense_int6(node, group=int6_group)
+                if sub8_ok and ("*" in int4_keys or leaf in int4_keys):
                     return quantize_dense_int4(node, group=int4_group)
                 return quantize_dense(node)
             if (downcast_adaln

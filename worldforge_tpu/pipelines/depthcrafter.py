@@ -48,14 +48,21 @@ class DepthCrafterPipeline:
     vae_params: dict
     vae_cfg: SVDVAEConfig
     encode_frames_clip: Optional[callable] = None  # [T,3,H,W]->[T,1024]
+    # exact-math transformer-block chunking (models/depthcrafter/unet.py::
+    # _map_chunked): the 16 GB capacity knob for the published 1024x576
+    # high-res windows (the reference needs 26 GB, README.md:180-184).
+    # 1 = original single-pass program.
+    attn_chunks: int = 1
 
     @functools.cached_property
     def _unet(self):
         cfg = self.unet_cfg
+        chunks = self.attn_chunks
 
         @jax.jit
         def run(params, latents, t, ctx, add_ids):
-            return svd_unet_forward(params, cfg, latents, t, ctx, add_ids)
+            return svd_unet_forward(params, cfg, latents, t, ctx, add_ids,
+                                    attn_chunks=chunks)
 
         return run
 

@@ -113,6 +113,30 @@ class LongCatPipeline:
 
         return run
 
+    @functools.cached_property
+    def _dit_fn_vc(self):
+        """Jitted cached-KV continuation step + cond-cache builder — the
+        generate_vc hot loop (one jit program each; without these the vc
+        loop executes op-by-op, unusable through the device tunnel)."""
+        from worldforge_tpu.models.longcat.dit import (
+            longcat_dit_cache_cond, longcat_dit_forward_with_cache)
+        cfg = self.dit_cfg
+
+        @jax.jit
+        def cache_cond(params, cond_lat):
+            return longcat_dit_cache_cond(params, cfg, cond_lat,
+                                          policy=self.policy)
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def step(params, latents, t_per_frame, ctx, kv_cache, cond_grid,
+                 ctx_mask):
+            return longcat_dit_forward_with_cache(
+                params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
+                kv_cache, cond_grid, encoder_attention_mask=ctx_mask,
+                policy=self.policy)
+
+        return cache_cond, step
+
     @functools.lru_cache(maxsize=8)
     def _fused_runner(self, guidance: GuidanceConfig, num_steps: int,
                       flow_shift: float, use_distill: bool, do_cfg: bool,
@@ -357,8 +381,6 @@ class LongCatPipeline:
         runs only on the noise latents attending to the cached cond tokens.
         enhance_hf replaces the timestep tail below 500 with a 10-step
         uniform ramp (:1157-1166); incompatible with distill."""
-        from worldforge_tpu.models.longcat.dit import (
-            longcat_dit_cache_cond, longcat_dit_forward_with_cache)
         from worldforge_tpu.sampling.flow_match import FlowMatchSchedule
 
         assert not (use_distill and enhance_hf), \
@@ -386,16 +408,14 @@ class LongCatPipeline:
             k_n, (b, self.dit_cfg.in_channels, t_lat - n_cond_lat,
                   h_lat, w_lat), jnp.float32)
 
-        kv_cache = longcat_dit_cache_cond(self.dit_params, self.dit_cfg,
-                                          cond_lat, policy=self.policy)
+        cache_cond, vc_step = self._dit_fn_vc
+        kv_cache = cache_cond(self.dit_params, cond_lat)
         latents = noise
         for i in range(sched.num_steps):
             nt = latents.shape[2] // self.dit_cfg.patch_size[0]
             tb = jnp.full((b, nt), float(sched.timesteps[i]), jnp.float32)
-            v = longcat_dit_forward_with_cache(
-                self.dit_params, self.dit_cfg, latents, tb, prompt_embeds,
-                kv_cache, (n_cond_lat,), policy=self.policy,
-                encoder_attention_mask=prompt_mask)
+            v = vc_step(self.dit_params, latents, tb, prompt_embeds,
+                        kv_cache, (n_cond_lat,), prompt_mask)
             latents = fm_euler_step(sched, i, latents, -v)
 
         full = jnp.concatenate([cond_lat, latents], axis=2)

@@ -69,6 +69,11 @@ class WanI2VPipeline:
     # difference between guided DiT+VAE fitting a 16 GB chip and OOM.
     # Mutates self.dit_params to the preferred layout on first fused call.
     auto_layout: bool = False
+    # token-chunked FFN (exact math, models/wan/dit.py::_ffn_token_chunked):
+    # shrinks the [N, ffn_dim] gate transients — the single-chip capacity
+    # knob that closes the fused guided program's round-3 ~36 MB 16 GB
+    # miss. Ignored under a mesh.
+    token_chunk: int = 1
 
     # ------------------------------------------------------------ pieces
 
@@ -98,10 +103,12 @@ class WanI2VPipeline:
             tb = jnp.broadcast_to(t, (latents.shape[0],))
             pred = wan_dit_forward(params, cfg, x, tb, ctx,
                                    clip_fea=clip_fea, y=y, mesh=self.mesh,
-                                   policy=self.policy)
+                                   policy=self.policy,
+                                   token_chunk=self.token_chunk)
             uncond = wan_dit_forward(params, cfg, x, tb, ctx_neg,
                                      clip_fea=clip_fea, y=y, mesh=self.mesh,
-                                   policy=self.policy)
+                                   policy=self.policy,
+                                   token_chunk=self.token_chunk)
             # WF CFG form: pred + g*(pred - uncond) (:611)
             return pred + gscale * (pred - uncond)
 
@@ -112,7 +119,8 @@ class WanI2VPipeline:
             tb = jnp.broadcast_to(t, (latents.shape[0],))
             return wan_dit_forward(params, cfg, x, tb, ctx,
                                    clip_fea=clip_fea, y=y, mesh=self.mesh,
-                                   policy=self.policy)
+                                   policy=self.policy,
+                                   token_chunk=self.token_chunk)
 
         return run, run_nocfg
 
@@ -142,11 +150,13 @@ class WanI2VPipeline:
                 tb = jnp.broadcast_to(t, (lat.shape[0],))
                 pred = wan_dit_forward(dit_params, cfg, x, tb, pe,
                                        clip_fea=ie, y=y, mesh=self.mesh,
-                                   policy=self.policy)
+                                   policy=self.policy,
+                                   token_chunk=self.token_chunk)
                 if do_cfg:
                     unc = wan_dit_forward(dit_params, cfg, x, tb, ne,
                                           clip_fea=ie, y=y, mesh=self.mesh,
-                                   policy=self.policy)
+                                   policy=self.policy,
+                                   token_chunk=self.token_chunk)
                     pred = pred + gscale * (pred - unc)
                 return pred
 

@@ -40,6 +40,9 @@ def init_lora(key, params, *, rank: int = 16, targets=LORA_TARGETS,
         if "w4" in node and getattr(node["w4"], "ndim", 0) in (2, 3):
             s = node["w4"].shape  # packed 2-per-byte on the in-dim
             return s[:-2] + (s[-2] * 2, s[-1])
+        if "w6" in node and getattr(node["w6"], "ndim", 0) in (3, 4):
+            s = node["w6"].shape  # [.., 3 planes, in/4, out]
+            return s[:-3] + (s[-2] * 4, s[-1])
         return None
 
     def walk(node, path):
