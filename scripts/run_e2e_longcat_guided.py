@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--quant", choices=("int4", "int6-ffn"), default="int4",
                     help="'int6-ffn' = int6 SwiGLU (w1/w2/w3) + int4 "
                          "attention — the <=1e-2 drift-bar recipe")
+    ap.add_argument("--token-chunk", type=int, default=1,
+                    help="exact-math FFN/qkv token chunking (fused-fault "
+                         "bisect lever: shrinks per-step transients and "
+                         "scoped-memory pressure)")
     args = ap.parse_args()
 
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
@@ -93,7 +97,8 @@ def main():
           f"{time.perf_counter()-t0:.0f} s", flush=True)
 
     pipe = LongCatPipeline(dit_params, cfg, vae_params, vae_cfg,
-                           streaming_vae=True, auto_layout=True)
+                           streaming_vae=True, auto_layout=True,
+                           token_chunk=args.token_chunk)
 
     h, w, nf = 480, 832, 49
     image = jax.random.uniform(jax.random.key(2), (1, 3, h, w),

@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4 hardware queue 2 (run AFTER queue 1 — drift/refine720/wan720):
+# the fused-program work (VERDICT r3 item 2), vc + depth-highres
+# measurements, and the int6 guided e2e. Each job is independent; every
+# log goes to /tmp. Serialized — one chip.
+cd /root/repo
+
+# (0) 720p refine RETRY after the round-4 vae_dispatch fix (the T=4k
+# input previously fell back to the single-pass encoder: 24 GB OOM; it
+# now truncates to 1+4k — the reference's own tail-drop — and streams).
+timeout 4200 python scripts/run_e2e_refine_720p.py --clips 2 \
+  > /tmp/r4_refine720b.log 2>&1
+echo "=== 0 done: $? ==="
+
+# (a) Wan fused ONE-PROGRAM guided mode with token-chunked FFN — the
+# round-3 program missed 16 GB by ~36 MB; chunking frees ~GBs of gates.
+timeout 7200 python scripts/run_e2e_guided.py --mode fused --token-chunk 4 \
+  --no-repeat > /tmp/r4_wan_fused_tc4.log 2>&1
+echo "=== a done: $? ==="
+
+# (b-e) LongCat fused-fault bisect ladder at production scale, 16-step
+# distilled. Round-3: full-fused COMPILES then faults at runtime (2/2).
+timeout 4200 python scripts/run_e2e_longcat_guided.py \
+  > /tmp/r4_lc_fused_full.log 2>&1
+echo "=== b done: $? ==="
+timeout 4200 python scripts/run_e2e_longcat_guided.py --unguided \
+  > /tmp/r4_lc_fused_unguided.log 2>&1
+echo "=== c done: $? ==="
+timeout 4200 python scripts/run_e2e_longcat_guided.py --no-flf \
+  > /tmp/r4_lc_fused_noflf.log 2>&1
+echo "=== d done: $? ==="
+timeout 4200 python scripts/run_e2e_longcat_guided.py --token-chunk 4 \
+  > /tmp/r4_lc_fused_tc4.log 2>&1
+echo "=== e done: $? ==="
+
+# (f) generate_vc on-chip (VERDICT item 8)
+timeout 4200 python scripts/run_e2e_vc.py --clips 2 > /tmp/r4_vc.log 2>&1
+echo "=== f done: $? ==="
+
+# (g) DepthCrafter published high-res config with attn_chunks (item 4)
+timeout 5400 python scripts/probe_depth_highres.py \
+  > /tmp/r4_depthhr.log 2>&1
+echo "=== g done: $? ==="
+
+# (h) int6-FFN guided flagship e2e (capacity + speed of the drift recipe)
+timeout 7200 python scripts/run_e2e_guided.py --quant int6-ffn --no-repeat \
+  > /tmp/r4_wan_int6.log 2>&1
+echo "=== h done: $? ==="
+echo QUEUE3-DONE

@@ -82,3 +82,30 @@ def test_streaming_decode_bad_chunk_falls_back(vae, rng):
     base = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
     out = vae_decode_streaming(params, cfg, z, mean=mean, std=std, chunk=2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
+def test_encode_dispatch_drops_tail_like_reference(vae, rng):
+    """The pipelines' shape-aware encode mirrors the reference encoder's
+    implicit tail-drop for T != 1+4k inputs (autoencoder_kl_wan.py:
+    1155-1166: iter_ = 1+(T-1)//4, last chunk reads [1+4(i-1):1+4i] — a
+    T=12 input encodes frames [0:9]). Round-4 fix: generate_refine's
+    BSA-granularity padding produces T=4k, which previously fell back to
+    the single-pass encoder over ALL T frames (a value deviation, and a
+    24 GB OOM at the 720p production shape)."""
+    from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
+
+    cfg, params = vae
+    video = jnp.asarray(rng.standard_normal((1, 3, 12, 16, 16)) * 0.5,
+                        jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    want = vae_encode_streaming(params, cfg, video[:, :, :9],
+                                mean=mean, std=std)
+    for streaming in (True, False):
+        _, enc = vae_fn_pair(streaming)
+        got = enc(params, cfg, video)  # dispatch default latent norm
+        got9 = enc(params, cfg, video[:, :, :9])
+        assert got.shape[2] == want.shape[2] == 3  # 1 + (9-1)/4 latents
+        np.testing.assert_allclose(np.asarray(got), np.asarray(got9),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"streaming={streaming}")

@@ -2,12 +2,18 @@
 
 Centralizes the logic previously duplicated across WanI2VPipeline /
 LongCatPipeline (decode fn, encode fn, fused-runner function pair), and
-makes the streaming ENCODE shape-aware: `vae_encode_streaming` requires
-T = 1 + 4k input frames (the causal [1, 4, 4, ...] chunking,
-vae_stream.py:268-288), but e.g. `generate_refine` pads frames to the
-BSA latent granularity producing T = 4k (matching the reference's
-padding, pipeline_longcat_video.py:1411-1428) — those calls fall back to
-the single-pass encoder rather than crash in the chunk reshape.
+makes the ENCODE shape-aware: the causal chunking consumes T = 1 + 4k
+input frames ([1, 4, 4, ...]), but e.g. `generate_refine` pads frames to
+the BSA latent granularity producing T = 4k (matching the reference's
+padding, pipeline_longcat_video.py:1411-1428). The reference encoder
+SILENTLY DROPS the tail frames past the last full causal chunk
+(autoencoder_kl_wan.py:1155-1166: iter_ = 1 + (T-1)//4 and the final
+chunk reads x[:, :, 1+4(i-1) : 1+4i] — a T=64 input encodes frames
+[0:61]); we mirror that by truncating to T' = 1 + 4*((T-1)//4) before
+encoding. Same latent count as before, reference-exact values — and it
+keeps the 720p refine on the STREAMING encoder (round 4: the previous
+single-pass fallback materialized a 24 GB first-conv activation at
+704x1280x64f and could not compile on 16 GB).
 """
 
 from __future__ import annotations
@@ -20,8 +26,18 @@ from worldforge_tpu.models.wan.vae import vae_decode, vae_encode
 
 
 def streaming_encode_ok(t_frames: int) -> bool:
-    """vae_encode_streaming's chunking needs T = 1 + 4k."""
+    """The causal chunking needs T = 1 + 4k."""
     return (t_frames - 1) % 4 == 0
+
+
+def _truncate_to_causal(video):
+    """Drop tail frames past the last full causal chunk — the reference
+    encoder's own (implicit) behavior for T != 1+4k inputs (module
+    docstring)."""
+    t = video.shape[2]
+    if streaming_encode_ok(t):
+        return video
+    return video[:, :, : 1 + 4 * ((t - 1) // 4)]
 
 
 def vae_fn_pair(streaming: bool, chunk: int = 1):
@@ -29,15 +45,14 @@ def vae_fn_pair(streaming: bool, chunk: int = 1):
     function pair for fused runners that close over params. The encode fn
     is shape-aware (see module docstring)."""
     if not streaming:
-        return vae_decode, vae_encode
+        return vae_decode, (lambda p, cfg, v:
+                            vae_encode(p, cfg, _truncate_to_causal(v)))
     from worldforge_tpu.models.wan.vae_stream import (vae_decode_streaming,
                                                       vae_encode_streaming)
     dec = functools.partial(vae_decode_streaming, chunk=chunk)
 
     def enc(params, cfg, video):
-        if streaming_encode_ok(video.shape[2]):
-            return vae_encode_streaming(params, cfg, video)
-        return vae_encode(params, cfg, video)
+        return vae_encode_streaming(params, cfg, _truncate_to_causal(video))
 
     return dec, enc
 
