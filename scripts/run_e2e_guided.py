@@ -113,25 +113,20 @@ def main():
                else WanDiTConfig.wan_14b_i2v())
     key = jax.random.key(0)
 
-    t0 = time.perf_counter()
-    int6_keys = ("fc1", "fc2") if args.quant == "int6-ffn" else ()
-    dit_params = init_wan_dit_w4(key, dit_cfg, dtype=jnp.bfloat16,
-                                 int4_keys=("*",), int6_keys=int6_keys)
-    ffn_key = "w6" if int6_keys else "w4"
-    _sync(dit_params["blocks"]["ffn"]["fc1"][ffn_key])
-    print(f"[1] {args.quant} 14B i2v resident: "
-          f"{time.perf_counter()-t0:.0f} s", flush=True)
-
+    # VAE first, DiT later (round 4): the one-shot conditioning encode in
+    # prepare_latents runs with full HBM headroom — at 720p x 49f it OOMs
+    # next to an already-resident 14B DiT (measured RESOURCE_EXHAUSTED),
+    # and nothing in the unguided path needs the DiT before step 1
     vae_cfg = (WanVAEConfig(dim=8, num_res_blocks=1) if args.smoke
                else WanVAEConfig.wan_2_1())
     t0 = time.perf_counter()
     vae_dtype = jnp.float32 if args.fp32_vae else jnp.bfloat16
     vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=vae_dtype)
     _sync(vae_params)
-    print(f"[2] {'fp32' if args.fp32_vae else 'bf16'} VAE resident "
-          f"alongside: {time.perf_counter()-t0:.0f} s", flush=True)
+    print(f"[1] {'fp32' if args.fp32_vae else 'bf16'} VAE resident: "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
 
-    pipe = WanI2VPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+    pipe = WanI2VPipeline(None, dit_cfg, vae_params, vae_cfg,
                           streaming_vae=True, auto_layout=True,
                           token_chunk=args.token_chunk)
 
@@ -165,7 +160,17 @@ def main():
     latents, condition = pipe.prepare_latents(jax.random.key(8), image, 1,
                                               h, w, nf)
     _sync(latents)
-    print(f"[3] prepare_latents (streaming VAE encode compile + run): "
+    print(f"[2] prepare_latents (streaming VAE encode compile + run): "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
+
+    t0 = time.perf_counter()
+    int6_keys = ("fc1", "fc2") if args.quant == "int6-ffn" else ()
+    dit_params = init_wan_dit_w4(key, dit_cfg, dtype=jnp.bfloat16,
+                                 int4_keys=("*",), int6_keys=int6_keys)
+    ffn_key = "w6" if int6_keys else "w4"
+    _sync(dit_params["blocks"]["ffn"]["fc1"][ffn_key])
+    pipe.dit_params = dit_params
+    print(f"[3] {args.quant} 14B i2v resident alongside: "
           f"{time.perf_counter()-t0:.0f} s", flush=True)
 
     def report_memory(compiled):

@@ -12,6 +12,18 @@ timeout 4200 python scripts/run_e2e_refine_720p.py --clips 2 \
   > /tmp/r4_refine720b.log 2>&1
 echo "=== 0 done: $? ==="
 
+# (0b) Wan 720p x 49f unguided clip RETRY (VERDICT item 1b): the
+# conditioning encode now runs before the DiT is resident. Fallback
+# ladder: fused CFG step -> split CFG -> split CFG + token-chunked FFN.
+timeout 9000 python scripts/run_e2e_guided.py --unguided --no-repeat \
+    --height 720 --width 1280 > /tmp/r4_wan720b.log 2>&1 \
+  || timeout 9000 python scripts/run_e2e_guided.py --unguided --no-repeat \
+    --split-cfg --height 720 --width 1280 > /tmp/r4_wan720b_split.log 2>&1 \
+  || timeout 9000 python scripts/run_e2e_guided.py --unguided --no-repeat \
+    --split-cfg --token-chunk 4 --height 720 --width 1280 \
+    > /tmp/r4_wan720b_tc.log 2>&1
+echo "=== 0b done: $? ==="
+
 # (a) Wan fused ONE-PROGRAM guided mode with token-chunked FFN — the
 # round-3 program missed 16 GB by ~36 MB; chunking frees ~GBs of gates.
 timeout 7200 python scripts/run_e2e_guided.py --mode fused --token-chunk 4 \
