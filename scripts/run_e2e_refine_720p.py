@@ -10,11 +10,17 @@ Shape (reference-exact): stage-1 480x832 x 49f -> 720p bucket 704x1280
 tokens 16 x (44x80) = 56,320 — factors into (4,4,8) BSA chunks at the
 reference's 0.875 sparsity.
 
-Capacity: ALL-int4 W4A8 LongCat blocks (~6.8 GB, init_longcat_dit_w4) +
-bf16 streaming VAE (the documented 16 GB guided-recipe deviation) + AUTO
-weight layouts. Random-init weights / random text embeds — measures
-wall-clock sec/clip for the refine serving path (BSA numerics are gated in
-tests/test_bsa.py, refine semantics vs the reference in tests/test_refine.py).
+Capacity recipe (round 4): PHASE ORDERING — the 704x1280 streaming VAE
+encode's full-res conv transients OOM next to the resident int4 DiT
+(measured RESOURCE_EXHAUSTED, 2/2), so clip 1 encodes BEFORE the DiT is
+built (pipe.prepare_refine_latents with dit_params=None), then the
+ALL-int4 W4A8 LongCat blocks (~6.8 GB, init_longcat_dit_w4) load
+alongside the bf16 streaming VAE + AUTO weight layouts. Clip 2 attempts
+the full encode->denoise->decode with everything co-resident (true
+steady-state); if it OOMs, that is the measured capacity edge and the
+recipe is the phase-ordered one. Random-init weights / random text embeds
+— measures wall-clock sec/clip for the refine serving path (BSA numerics
+gated in tests/test_bsa.py, refine semantics in tests/test_refine.py).
 
 Run from /root/repo with no JAX_PLATFORMS overrides:
     python scripts/run_e2e_refine_720p.py [--clips 2]
@@ -39,6 +45,15 @@ def _sync(x):
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
+def _hbm(tag):
+    ms = jax.local_devices()[0].memory_stats()
+    if ms:
+        print(f"    [hbm after {tag}] in_use "
+              f"{ms.get('bytes_in_use', 0)/2**30:.2f} GiB, peak "
+              f"{ms.get('peak_bytes_in_use', 0)/2**30:.2f} / "
+              f"{ms.get('bytes_limit', 0)/2**30:.2f} GiB", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50,
@@ -49,7 +64,8 @@ def main():
                     help="dense-attention A/B (the reference always runs "
                          "BSA for refine)")
     ap.add_argument("--clips", type=int, default=1,
-                    help="repeat; clip 2+ is steady-state (compiles cached)")
+                    help="clip 1 = phase-ordered (encode before DiT); "
+                         "clip 2+ = fully co-resident steady-state attempt")
     args = ap.parse_args()
 
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
@@ -60,22 +76,17 @@ def main():
 
     t_all = time.perf_counter()
     cfg = LongCatDiTConfig.longcat_13b()
-    key = jax.random.key(0)
 
-    t0 = time.perf_counter()
-    dit_params = init_longcat_dit_w4(key, cfg, dtype=jnp.bfloat16)
-    _sync(jax.tree_util.tree_leaves(dit_params["blocks"])[0])
-    print(f"[1] all-int4 13.6B LongCat resident: "
-          f"{time.perf_counter()-t0:.0f} s", flush=True)
-
+    # VAE first, DiT later: the one-shot 720p encode needs the HBM headroom
     vae_cfg = WanVAEConfig.wan_2_1()
     t0 = time.perf_counter()
     vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=jnp.bfloat16)
     _sync(vae_params)
-    print(f"[2] bf16 VAE resident alongside: "
-          f"{time.perf_counter()-t0:.0f} s", flush=True)
+    print(f"[1] bf16 VAE resident: {time.perf_counter()-t0:.0f} s",
+          flush=True)
+    _hbm("vae")
 
-    pipe = LongCatPipeline(dit_params, cfg, vae_params, vae_cfg,
+    pipe = LongCatPipeline(None, cfg, vae_params, vae_cfg,
                            streaming_vae=True, auto_layout=True)
 
     h_lo, w_lo, nf = 480, 832, args.frames
@@ -83,12 +94,31 @@ def main():
     n_lat = -(-nf // 4)
     t_lat_pad = -(-n_lat // 4) * 4  # noise latents padded to BSA granularity
     tokens = t_lat_pad * (h // 16) * (w // 16)
-    print(f"[3] refine target {h}x{w}, latents {t_lat_pad}x{h//8}x{w//8}, "
+    print(f"[2] refine target {h}x{w}, latents {t_lat_pad}x{h//8}x{w//8}, "
           f"tokens {tokens} "
           f"({'dense' if args.no_bsa else 'BSA 0.875'})", flush=True)
 
     stage1 = np.random.default_rng(2).uniform(
         0, 1, (nf, h_lo, w_lo, 3)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    lat_up = pipe.prepare_refine_latents(stage1, height=h, width=w,
+                                         spatial_refine_only=True)
+    _sync(lat_up)
+    print(f"[3] 720p upscale + streaming VAE encode (no DiT resident): "
+          f"{time.perf_counter()-t0:.0f} s, latents {lat_up.shape}",
+          flush=True)
+    _hbm("encode")
+
+    t0 = time.perf_counter()
+    dit_params = init_longcat_dit_w4(jax.random.key(0), cfg,
+                                     dtype=jnp.bfloat16)
+    _sync(jax.tree_util.tree_leaves(dit_params["blocks"])[0])
+    pipe.dit_params = dit_params
+    print(f"[4] all-int4 13.6B LongCat resident alongside: "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
+    _hbm("dit")
+
     pe = jax.random.normal(jax.random.key(3), (1, 96, cfg.caption_channels),
                            jnp.bfloat16)
     pmask = jnp.ones((1, 96), jnp.float32)
@@ -111,33 +141,61 @@ def main():
     pipe.__dict__["_dit_fn_bsa"] = timed(orig_bsa)
     pipe.__dict__["_dit_fn"] = timed(orig_dense)
 
+    lat = None
+    t_denoise = float("nan")
     for clip in range(args.clips):
         step_times.clear()
         t0 = time.perf_counter()
-        lat = pipe.generate_refine(
-            jax.random.key(10 + clip), stage1, pe, pmask,
-            height=h, width=w, num_inference_steps=args.steps,
-            t_thresh=args.t_thresh, spatial_refine_only=True,
-            use_bsa=not args.no_bsa, output_type="latent")
-        _sync(lat)
+        try:
+            lat = pipe.generate_refine(
+                jax.random.key(10 + clip), stage1, pe, pmask,
+                height=h, width=w, num_inference_steps=args.steps,
+                t_thresh=args.t_thresh, spatial_refine_only=True,
+                use_bsa=not args.no_bsa, output_type="latent",
+                stage1_latents=lat_up if clip == 0 else None)
+            _sync(lat)
+        except Exception as e:  # noqa: BLE001 — capacity post-mortem
+            print(f"[5] clip {clip+1} "
+                  f"({'phase-ordered' if clip == 0 else 'co-resident'}) "
+                  f"FAILED after {time.perf_counter()-t0:.0f} s, "
+                  f"{len(step_times)} DiT steps done: "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            _hbm("failure")
+            break
         t_denoise = time.perf_counter() - t0
-        tag = "incl. compile" if clip == 0 else "steady-state"
+        tag = ("phase-ordered encode, incl. compile" if clip == 0
+               else "co-resident steady-state")
         med = statistics.median(step_times) if step_times else float("nan")
-        print(f"[4] refine denoise clip {clip+1} ({tag}): {t_denoise:.0f} s "
+        print(f"[5] refine denoise clip {clip+1} ({tag}): {t_denoise:.0f} s "
               f"over {len(step_times)} DiT steps, median step {med:.2f} s",
               flush=True)
+        _hbm(f"clip{clip+1}")
+
+    if lat is None:
+        sys.exit(1)
 
     t0 = time.perf_counter()
-    video = pipe._vae_decode_fn()(lat)
-    out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
-    t_decode = time.perf_counter() - t0
-    print(f"[5] final streaming decode {out.shape}: {t_decode:.1f} s",
-          flush=True)
+    try:
+        video = pipe._vae_decode_fn()(lat)
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        print(f"[6] final streaming decode {out.shape}: {t_decode:.1f} s",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"[6] decode WITH DiT resident failed "
+              f"({type(e).__name__}: {str(e)[:200]}); dropping DiT refs "
+              f"and retrying", flush=True)
+        _hbm("decode-failure")
+        pipe.dit_params = None
+        del dit_params
+        t0 = time.perf_counter()
+        video = pipe._vae_decode_fn()(lat)
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        print(f"[6] final streaming decode (DiT dropped) {out.shape}: "
+              f"{t_decode:.1f} s", flush=True)
+    _hbm("decode")
 
-    ms = jax.local_devices()[0].memory_stats()
-    if ms:
-        print(f"HBM peak: {ms.get('peak_bytes_in_use', 0)/2**30:.2f} GiB / "
-              f"{ms.get('bytes_limit', 0)/2**30:.2f} GiB", flush=True)
     total = time.perf_counter() - t_all
     t_clip = t_denoise + t_decode
     tag = "steady-state" if args.clips > 1 else "incl. compile"

@@ -81,3 +81,23 @@ def test_generate_refine_streaming_vae(refine_pipe, rng):
                                         pmask, **kw)
     assert out_s.shape == (1, 3, 5, 32, 32)
     np.testing.assert_allclose(out_s, out_d, atol=2e-5, rtol=2e-5)
+
+
+def test_prepare_refine_latents_path_matches_inline(refine_pipe, rng):
+    """The phase-ordered 16 GB recipe (prepare_refine_latents before the
+    DiT is resident, then generate_refine(stage1_latents=...)) is
+    bit-identical to the inline encode path — same key split, same
+    schedule."""
+    stage1 = rng.uniform(0, 1, (5, 16, 16, 3)).astype(np.float32)
+    pe = jnp.asarray(rng.standard_normal(
+        (1, 6, refine_pipe.dit_cfg.caption_channels)), jnp.float32)
+    pmask = jnp.ones((1, 6), jnp.int32)
+    kw = dict(height=32, width=32, num_inference_steps=3, t_thresh=0.5,
+              spatial_refine_only=True, use_bsa=False)
+    lat_up = refine_pipe.prepare_refine_latents(
+        stage1, height=32, width=32, spatial_refine_only=True)
+    out_pre = refine_pipe.generate_refine(jax.random.key(7), stage1, pe,
+                                          pmask, stage1_latents=lat_up, **kw)
+    out_inl = refine_pipe.generate_refine(jax.random.key(7), stage1, pe,
+                                          pmask, **kw)
+    np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_inl))

@@ -425,29 +425,21 @@ class LongCatPipeline:
         out = (np.asarray(video_out, np.float32) + 1.0) / 2.0
         return np.clip(out, 0.0, 1.0)
 
-    def generate_refine(
+    def prepare_refine_latents(
         self,
-        key,
         stage1_video: np.ndarray,              # [T, H_lo, W_lo, 3] in [0,1]
-        prompt_embeds: jnp.ndarray,
-        prompt_mask: Optional[jnp.ndarray],
         *,
         height: int = 720,
         width: int = 1280,
-        num_inference_steps: int = 50,
-        flow_shift: float = 1.0,
-        t_thresh: float = 0.5,
         spatial_refine_only: bool = False,
         bsa_latent_granularity: int = 4,
-        use_bsa: bool = True,
-        bsa_sparsity: float = 0.875,
-        output_type: str = "np",
-    ):
-        """SDEdit 480p->720p upscale (generate_refine, pipeline :1271-1511):
-        bilinear spatial upscale (+trilinear 2x temporal unless
-        spatial_refine_only), VAE encode, mix with noise at t_thresh,
-        truncated Euler schedule from t_thresh, no CFG, noise frames padded
-        to the BSA latent granularity."""
+    ) -> jnp.ndarray:
+        """Upscale + pad + VAE-encode the stage-1 video (the front half of
+        generate_refine, pipeline :1403-1428). Split out so a 16 GB serving
+        host can run the 720p encode BEFORE the DiT is resident: at
+        704x1280 the streaming encode's full-res conv transients OOM next
+        to the int4 13.6B DiT (measured round 4), and the encode needs no
+        DiT state."""
         t_in = stage1_video.shape[0]
         new_t = t_in if spatial_refine_only else 2 * t_in
 
@@ -469,9 +461,48 @@ class LongCatPipeline:
             pad_back = jnp.repeat(up[:, :, -1:], frames_added, axis=2)
             up = jnp.concatenate([up, pad_back], axis=2)
 
-        enc = self._vae_encode_fn()
+        return self._vae_encode_fn()(up)
+
+    def generate_refine(
+        self,
+        key,
+        stage1_video: Optional[np.ndarray],    # [T, H_lo, W_lo, 3] in [0,1]
+        prompt_embeds: jnp.ndarray,
+        prompt_mask: Optional[jnp.ndarray],
+        *,
+        height: int = 720,
+        width: int = 1280,
+        num_inference_steps: int = 50,
+        flow_shift: float = 1.0,
+        t_thresh: float = 0.5,
+        spatial_refine_only: bool = False,
+        bsa_latent_granularity: int = 4,
+        use_bsa: bool = True,
+        bsa_sparsity: float = 0.875,
+        output_type: str = "np",
+        stage1_latents: Optional[jnp.ndarray] = None,
+    ):
+        """SDEdit 480p->720p upscale (generate_refine, pipeline :1271-1511):
+        bilinear spatial upscale (+trilinear 2x temporal unless
+        spatial_refine_only), VAE encode, mix with noise at t_thresh,
+        truncated Euler schedule from t_thresh, no CFG, noise frames padded
+        to the BSA latent granularity. Pass `stage1_latents` (from
+        prepare_refine_latents) to skip the upscale+encode — the 16 GB
+        phase-ordering recipe (encode before the DiT is resident)."""
+        if stage1_latents is not None:
+            latent_up = stage1_latents
+            new_t = (stage1_video.shape[0] if stage1_video is not None
+                     else (latent_up.shape[2] - 1) * self.vae_scale_t + 1)
+            if not spatial_refine_only and stage1_video is not None:
+                new_t *= 2
+        else:
+            t_in = stage1_video.shape[0]
+            new_t = t_in if spatial_refine_only else 2 * t_in
+            latent_up = self.prepare_refine_latents(
+                stage1_video, height=height, width=width,
+                spatial_refine_only=spatial_refine_only,
+                bsa_latent_granularity=bsa_latent_granularity)
         dec = self._vae_decode_fn()
-        latent_up = enc(up)
         key, k_n = jax.random.split(key)
         noise = jax.random.normal(k_n, latent_up.shape, latent_up.dtype)
         latents = (1.0 - t_thresh) * latent_up + t_thresh * noise
