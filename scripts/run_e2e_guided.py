@@ -90,6 +90,11 @@ def main():
                          "fused guided program missed 16 GB by ~36 MB; "
                          "chunking the 1.12 GB fp32 FFN gates frees far "
                          "more than that)")
+    ap.add_argument("--decode-only", action="store_true",
+                    help="measure ONLY the streaming VAE decode at the "
+                         "target resolution (VAE alone on the chip) — "
+                         "recovers the decode phase when the full run's "
+                         "post-denoise co-resident decode OOMs")
     ap.add_argument("--quant", choices=("int4", "int6-ffn"), default="int4",
                     help="DiT capacity recipe: 'int4' = all-int4 W4A8 "
                          "(~8.1 GB, guided drift ~2%%); 'int6-ffn' = int6 "
@@ -131,6 +136,22 @@ def main():
                           token_chunk=args.token_chunk)
 
     h, w, nf = args.height, args.width, args.frames
+
+    if args.decode_only:
+        lat = jax.random.normal(jax.random.key(5),
+                                (1, 16, -(-nf // 4), h // 8, w // 8),
+                                jnp.float32)
+        _sync(lat)
+        dec = pipe._vae_decode_fn()
+        for rep in range(2):
+            t0 = time.perf_counter()
+            video = dec(lat)
+            out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+            print(f"[decode-only] {h}x{w} streaming decode {out.shape} "
+                  f"rep {rep + 1}: {time.perf_counter() - t0:.1f} s"
+                  + (" (incl. compile)" if rep == 0 else " (steady-state)"),
+                  flush=True)
+        return
     image = jax.random.uniform(jax.random.key(2), (1, 3, h, w),
                                jnp.float32) * 2.0 - 1.0
     pe = jax.random.normal(jax.random.key(3),
@@ -197,6 +218,7 @@ def main():
     from worldforge_tpu.sampling.guidance import fuse_latents
     from worldforge_tpu.sampling.unipc import make_flow_unipc_schedule
 
+    one_c = combine = None  # populated by the split-CFG branch only
     if args.split_cfg:
         # 720p capacity fallback: one forward per program, CFG combine as
         # a third tiny dispatch — program temps ~halve vs the fused step
@@ -305,12 +327,33 @@ def main():
         out_lat, t_run = one_clip("5b steady-state")  # programs all warm
 
     t0 = time.perf_counter()
-    video = dec(jnp.asarray(lat_host))
-    out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
-    t_decode = time.perf_counter() - t0
-    del video
-    print(f"[6] final streaming decode: {t_decode:.1f} s "
-          f"(clip {out.shape})", flush=True)
+    try:
+        video = dec(jnp.asarray(lat_host))
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        del video
+        print(f"[6] final streaming decode: {t_decode:.1f} s "
+              f"(clip {out.shape})", flush=True)
+    except Exception as e:  # noqa: BLE001 — capacity fallback
+        print(f"[6] decode WITH DiT resident failed "
+              f"({type(e).__name__}: {str(e)[:200]}); dropping DiT + "
+              f"compiled programs and retrying", flush=True)
+        # A params-only free is NOT enough (measured on the LongCat refine
+        # path): the compiled executables' HBM constants and allocator
+        # fragmentation survive it. Drop everything DiT-shaped.
+        pipe.dit_params = None
+        dit_params = step_c = one_c = combine = None  # noqa: F841
+        out_lat = latents = condition = video_ref = mask = None  # noqa: F841
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        t0 = time.perf_counter()
+        video = dec(jnp.asarray(lat_host))
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        del video
+        print(f"[6] final streaming decode (DiT dropped, incl. recompile): "
+              f"{t_decode:.1f} s (clip {out.shape})", flush=True)
 
     for k, v in phase.items():
         if v:

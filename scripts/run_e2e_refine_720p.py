@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--clips", type=int, default=1,
                     help="clip 1 = phase-ordered (encode before DiT); "
                          "clip 2+ = fully co-resident steady-state attempt")
+    ap.add_argument("--decode-only", action="store_true",
+                    help="measure ONLY the 720p streaming VAE decode "
+                         "(VAE alone on the chip) — the phase the full run "
+                         "cannot reach when post-denoise HBM fragmentation "
+                         "blocks the co-resident decode")
     args = ap.parse_args()
 
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
@@ -91,6 +96,22 @@ def main():
 
     h_lo, w_lo, nf = 480, 832, args.frames
     h, w = closest_bucket(h_lo, w_lo, "720p", 64)  # 704 x 1280
+
+    if args.decode_only:
+        n_lat = -(-(-(-nf // 4)) // 4) * 4
+        lat = jax.random.normal(jax.random.key(5),
+                                (1, 16, n_lat, h // 8, w // 8), jnp.float32)
+        _sync(lat)
+        for rep in range(2):
+            t0 = time.perf_counter()
+            video = pipe._vae_decode_fn()(lat)
+            out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+            print(f"[decode-only] 720p streaming decode {out.shape} "
+                  f"rep {rep + 1}: {time.perf_counter() - t0:.1f} s"
+                  + (" (incl. compile)" if rep == 0 else " (steady-state)"),
+                  flush=True)
+        _hbm("decode-only")
+        return
     n_lat = -(-nf // 4)
     t_lat_pad = -(-n_lat // 4) * 4  # noise latents padded to BSA granularity
     tokens = t_lat_pad * (h // 16) * (w // 16)
@@ -186,8 +207,21 @@ def main():
               f"({type(e).__name__}: {str(e)[:200]}); dropping DiT refs "
               f"and retrying", flush=True)
         _hbm("decode-failure")
+        # Drop every DiT reference AND the compiled step executables (their
+        # HBM constants — RoPE tables, BSA index prologues — and allocator
+        # fragmentation both survive a params-only free: measured round 4,
+        # the params-only retry still RESOURCE_EXHAUSTED at 704x1280).
         pipe.dit_params = None
         del dit_params
+        lat_host = np.asarray(lat)
+        del lat, lat_up
+        for k_cached in ("_dit_fn", "_dit_fn_bsa", "_dit_fn_vc"):
+            pipe.__dict__.pop(k_cached, None)
+        orig_bsa = orig_dense = None  # noqa: F841 — pin the jitted steps
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        lat = jnp.asarray(lat_host)
         t0 = time.perf_counter()
         video = pipe._vae_decode_fn()(lat)
         out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
