@@ -43,6 +43,7 @@ Run from /root/repo with no JAX_PLATFORMS overrides:
 
 import argparse
 import os
+import re
 import sys
 import time
 
@@ -95,6 +96,13 @@ def main():
                          "target resolution (VAE alone on the chip) — "
                          "recovers the decode phase when the full run's "
                          "post-denoise co-resident decode OOMs")
+    ap.add_argument("--decode-from", default=None,
+                    help="decode latents from a .npy file with only the "
+                         "VAE resident, then exit — the fresh-process "
+                         "fallback the main run spawns when even the "
+                         "post-cleanup in-process decode OOMs (a failed "
+                         "720p execution can leave the allocator "
+                         "unrecoverable in-process)")
     ap.add_argument("--quant", choices=("int4", "int6-ffn"), default="int4",
                     help="DiT capacity recipe: 'int4' = all-int4 W4A8 "
                          "(~8.1 GB, guided drift ~2%%); 'int6-ffn' = int6 "
@@ -151,6 +159,17 @@ def main():
                   f"rep {rep + 1}: {time.perf_counter() - t0:.1f} s"
                   + (" (incl. compile)" if rep == 0 else " (steady-state)"),
                   flush=True)
+        return
+
+    if args.decode_from:
+        lat = jnp.asarray(np.load(args.decode_from))
+        _sync(lat)
+        t0 = time.perf_counter()
+        video = pipe._vae_decode_fn()(lat)
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        print(f"[decode-from] {h}x{w} streaming decode {out.shape}: "
+              f"{time.perf_counter() - t0:.1f} s (incl. compile)",
+              flush=True)
         return
     image = jax.random.uniform(jax.random.key(2), (1, 3, h, w),
                                jnp.float32) * 2.0 - 1.0
@@ -340,20 +359,56 @@ def main():
               f"compiled programs and retrying", flush=True)
         # A params-only free is NOT enough (measured on the LongCat refine
         # path): the compiled executables' HBM constants and allocator
-        # fragmentation survive it. Drop everything DiT-shaped.
+        # fragmentation survive it. Drop everything DiT-shaped — including
+        # the compile_auto_layouts arg tuples (one_args/step_args), which
+        # hold the RELAID params: nulling `dit_params` alone leaks the
+        # whole ~8 GB DiT (measured round 4: the post-cleanup retry still
+        # RESOURCE_EXHAUSTED on a 12 MB device_put at 720p).
         pipe.dit_params = None
         dit_params = step_c = one_c = combine = None  # noqa: F841
+        one_args = step_args = video = image = None  # noqa: F841
         out_lat = latents = condition = video_ref = mask = None  # noqa: F841
         import gc
         gc.collect()
         jax.clear_caches()
         t0 = time.perf_counter()
-        video = dec(jnp.asarray(lat_host))
-        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
-        t_decode = time.perf_counter() - t0
-        del video
-        print(f"[6] final streaming decode (DiT dropped, incl. recompile): "
-              f"{t_decode:.1f} s (clip {out.shape})", flush=True)
+        try:
+            video = dec(jnp.asarray(lat_host))
+            out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+            t_decode = time.perf_counter() - t0
+            del video
+            print(f"[6] final streaming decode (DiT dropped, incl. "
+                  f"recompile): {t_decode:.1f} s (clip {out.shape})",
+                  flush=True)
+        except Exception as e2:  # noqa: BLE001 — allocator unrecoverable
+            # Last resort: a failed 720p execution can leave the in-process
+            # allocator unrecoverable even after every reference is gone.
+            # Decode in a FRESH process (VAE alone on the chip — the
+            # decode-only probe measures 23.9 s steady-state at 720p).
+            print(f"[6] in-process decode retry also failed "
+                  f"({type(e2).__name__}); decoding in a fresh process",
+                  flush=True)
+            import subprocess
+            import tempfile
+            video = dec = enc = None  # free before the child starts
+            gc.collect()
+            lat_path = os.path.join(tempfile.gettempdir(), "wf_decode.npy")
+            np.save(lat_path, lat_host)
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--decode-from", lat_path, "--height", str(h),
+                 "--width", str(w), "--frames", str(nf)],
+                capture_output=True, text=True, timeout=3600)
+            print(r.stdout, end="", flush=True)
+            if r.returncode != 0:
+                print(r.stderr[-2000:], flush=True)
+                raise
+            # the child prints "[decode-from] ...: X s (incl. compile)";
+            # use its measured decode time (includes its compile), not the
+            # child's whole wall (VAE init + process startup)
+            m = re.search(r"\[decode-from\].*?: ([0-9.]+) s", r.stdout)
+            t_decode = float(m.group(1)) if m else time.perf_counter() - t0
 
     for k, v in phase.items():
         if v:

@@ -68,7 +68,20 @@ def main():
                     help="exact-math FFN/qkv token chunking (fused-fault "
                          "bisect lever: shrinks per-step transients and "
                          "scoped-memory pressure)")
+    ap.add_argument("--no-auto-layout", action="store_true",
+                    help="bisect aid: skip compile_auto_layouts on the "
+                         "fused program — the relayout runs ONLY on the "
+                         "fused path (the per-step mode that works never "
+                         "relayouts), so it is in the works-vs-faults "
+                         "delta alongside the step scan itself")
+    ap.add_argument("--no-vae", action="store_true",
+                    help="bisect aid: do not build the VAE at all "
+                         "(unguided only; skips the final decode) — "
+                         "isolates DiT+VAE co-residency from the fused "
+                         "program itself")
     args = ap.parse_args()
+    if args.no_vae and not args.unguided:
+        ap.error("--no-vae requires --unguided (guided fuses via the VAE)")
 
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
                                                    init_longcat_dit_w4)
@@ -90,14 +103,26 @@ def main():
 
     vae_cfg = WanVAEConfig.wan_2_1()
     vae_dtype = jnp.float32 if args.fp32_vae else jnp.bfloat16
-    t0 = time.perf_counter()
-    vae_params = init_wan_vae(jax.random.key(1), vae_cfg, dtype=vae_dtype)
-    _sync(vae_params)
-    print(f"[2] {jnp.dtype(vae_dtype).name} VAE resident alongside: "
-          f"{time.perf_counter()-t0:.0f} s", flush=True)
+    if args.no_vae:
+        # tiny stand-in params: the unguided fused program never executes
+        # VAE ops, but the runner signature still takes vae_params
+        vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+        vae_params = init_wan_vae(jax.random.key(1), vae_cfg,
+                                  dtype=vae_dtype)
+        _sync(vae_params)
+        print("[2] NO full VAE resident (bisect --no-vae; tiny stand-in)",
+              flush=True)
+    else:
+        t0 = time.perf_counter()
+        vae_params = init_wan_vae(jax.random.key(1), vae_cfg,
+                                  dtype=vae_dtype)
+        _sync(vae_params)
+        print(f"[2] {jnp.dtype(vae_dtype).name} VAE resident alongside: "
+              f"{time.perf_counter()-t0:.0f} s", flush=True)
 
     pipe = LongCatPipeline(dit_params, cfg, vae_params, vae_cfg,
-                           streaming_vae=True, auto_layout=True,
+                           streaming_vae=True,
+                           auto_layout=not args.no_auto_layout,
                            token_chunk=args.token_chunk)
 
     h, w, nf = 480, 832, 49
@@ -138,6 +163,12 @@ def main():
         tag = "incl. compile" if clip == 0 else "steady-state"
         print(f"[3] {mode} DISTILLED denoise clip {clip + 1}, "
               f"{args.steps} steps ({tag}): {t_denoise:.0f} s", flush=True)
+
+    if args.no_vae:
+        _ = np.asarray(out_lat, np.float32)
+        print(f"{mode} denoise-only (bisect --no-vae): {t_denoise:.0f} s, "
+              f"total wall {time.perf_counter()-t_all:.0f} s")
+        return
 
     lat_host = np.asarray(out_lat, np.float32)
     dec = pipe._vae_decode_fn()

@@ -71,6 +71,10 @@ def main():
                          "(VAE alone on the chip) — the phase the full run "
                          "cannot reach when post-denoise HBM fragmentation "
                          "blocks the co-resident decode")
+    ap.add_argument("--decode-from", default=None,
+                    help="decode latents from a .npy file with only the "
+                         "VAE resident, then exit (fresh-process fallback "
+                         "for the unrecoverable post-OOM allocator)")
     args = ap.parse_args()
 
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
@@ -111,6 +115,17 @@ def main():
                   + (" (incl. compile)" if rep == 0 else " (steady-state)"),
                   flush=True)
         _hbm("decode-only")
+        return
+
+    if args.decode_from:
+        lat = jnp.asarray(np.load(args.decode_from))
+        _sync(lat)
+        t0 = time.perf_counter()
+        video = pipe._vae_decode_fn()(lat)
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        print(f"[decode-from] {h}x{w} streaming decode {out.shape}: "
+              f"{time.perf_counter() - t0:.1f} s (incl. compile)",
+              flush=True)
         return
     n_lat = -(-nf // 4)
     t_lat_pad = -(-n_lat // 4) * 4  # noise latents padded to BSA granularity
@@ -221,13 +236,35 @@ def main():
         import gc
         gc.collect()
         jax.clear_caches()
-        lat = jnp.asarray(lat_host)
-        t0 = time.perf_counter()
-        video = pipe._vae_decode_fn()(lat)
-        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
-        t_decode = time.perf_counter() - t0
-        print(f"[6] final streaming decode (DiT dropped) {out.shape}: "
-              f"{t_decode:.1f} s", flush=True)
+        try:
+            lat = jnp.asarray(lat_host)
+            t0 = time.perf_counter()
+            video = pipe._vae_decode_fn()(lat)
+            out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+            t_decode = time.perf_counter() - t0
+            print(f"[6] final streaming decode (DiT dropped) {out.shape}: "
+                  f"{t_decode:.1f} s", flush=True)
+        except Exception as e2:  # noqa: BLE001 — allocator unrecoverable
+            print(f"[6] in-process decode retry also failed "
+                  f"({type(e2).__name__}); decoding in a fresh process",
+                  flush=True)
+            import re
+            import subprocess
+            import tempfile
+            lat = video = None
+            gc.collect()
+            lat_path = os.path.join(tempfile.gettempdir(), "wf_refine.npy")
+            np.save(lat_path, lat_host)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--decode-from", lat_path, "--frames", str(nf)],
+                capture_output=True, text=True, timeout=3600)
+            print(r.stdout, end="", flush=True)
+            if r.returncode != 0:
+                print(r.stderr[-2000:], flush=True)
+                raise
+            m = re.search(r"\[decode-from\].*?: ([0-9.]+) s", r.stdout)
+            t_decode = float(m.group(1)) if m else float("nan")
     _hbm("decode")
 
     total = time.perf_counter() - t_all
