@@ -433,9 +433,14 @@ def run_fused(args, pipe, g, n_guided, dit_params, vae_params, latents,
     run_args = (dit_params, vae_params, latents, condition, pe, ne, ie,
                 video_ref, mask, jax.random.key(10))
     t0 = time.perf_counter()
+    # auto-layout the data args too (latents/condition/ref/mask): default
+    # entry layouts cost HLO-temp copies (119 MB for video_ref alone in
+    # the round-4 720p post-mortem) — see pipelines/wan_i2v.py fused path
     compiled, run_args = compile_auto_layouts(runner, run_args,
-                                              auto_argnums=(0,))
+                                              auto_argnums=(0, 1, 2, 3,
+                                                            7, 8))
     pipe.dit_params = run_args[0]          # preferred-layout weights
+    pipe.vae_params = run_args[1]
     print(f"[4] fused guided program compiled (+weights relaid): "
           f"{time.perf_counter()-t0:.0f} s", flush=True)
     report_memory(compiled)

@@ -299,9 +299,16 @@ class WanI2VPipeline:
             if self.auto_layout:
                 from worldforge_tpu.runtime.layouts import \
                     compile_auto_layouts
+                # auto-layout the big DATA args too (latents/condition/
+                # ref/mask), not just the weight trees: with default entry
+                # layouts XLA materializes HLO-temp copies of each (the
+                # round-4 720p post-mortem shows a 119 MB copy of
+                # video_ref alone) — on a 16 GB chip those copies are the
+                # difference between the fused program fitting and not
                 compiled, run_args = compile_auto_layouts(
-                    runner, run_args, auto_argnums=(0,))
+                    runner, run_args, auto_argnums=(0, 1, 2, 3, 7, 8))
                 self.dit_params = run_args[0]   # now in preferred layout
+                self.vae_params = run_args[1]
                 latents = compiled(*run_args)
             else:
                 latents = runner(*run_args)
