@@ -210,6 +210,12 @@ def main():
     if lat is None:
         sys.exit(1)
 
+    # Pull the latents to host BEFORE any decode attempt: after a failed
+    # 720p decode the allocator is wedged enough that even a 14 MB D2H
+    # fetch RESOURCE_EXHAUSTs (measured round 4) — the recovery paths must
+    # work off a host copy that already exists.
+    lat_host = np.asarray(lat, np.float32)
+
     t0 = time.perf_counter()
     try:
         video = pipe._vae_decode_fn()(lat)
@@ -228,7 +234,6 @@ def main():
         # the params-only retry still RESOURCE_EXHAUSTED at 704x1280).
         pipe.dit_params = None
         del dit_params
-        lat_host = np.asarray(lat)
         del lat, lat_up
         for k_cached in ("_dit_fn", "_dit_fn_bsa", "_dit_fn_vc"):
             pipe.__dict__.pop(k_cached, None)
