@@ -16,11 +16,13 @@ Random-init weights / random text embeds — measures wall-clock sec/clip
 for the guided serving path (quality is gated separately:
 tests/test_longcat_guided_drift.py, tests/test_int4_quality.py).
 
-NOTE the measured 16 GB mode is `--no-fused` (per-step dispatch): the
-ONE-PROGRAM fused scan compiles at this scale next to the bf16 VAE but
-hits a reproducible runtime "TPU device error" fault (2/2 attempts,
-/tmp/hw_longcat_e2e{,2}.log round 3) — tracked in docs/COMPONENTS.md;
-loop mode runs clean and is the loop-vs-fused-equivalence-tested path.
+Fused-mode note (ROOT-CAUSED round 4): this runtime kills any single
+device execution over ~65-75 s (probe_long_execution.py), so the
+one-program 16-step fused scan (~150 s/execution) faults regardless of
+content. Serving modes that work here: `--no-fused` (per-step dispatch,
+the round-3 measured mode) and `--exec-chunk k` (the SAME fused scan
+body dispatched in <=k-step executions; bit-identical to fused —
+tests/test_longcat_fused.py::test_chunked_execution_matches_fused).
 
 Run from /root/repo with no JAX_PLATFORMS overrides:
     python scripts/run_e2e_longcat_guided.py --no-fused [--steps 16 --clips 2]
@@ -68,6 +70,12 @@ def main():
                     help="exact-math FFN/qkv token chunking (fused-fault "
                          "bisect lever: shrinks per-step transients and "
                          "scoped-memory pressure)")
+    ap.add_argument("--exec-chunk", type=int, default=0,
+                    help="chunked-execution fused serving: the same scan "
+                         "body dispatched in <=k-step device executions — "
+                         "the serving mode for the ~65-72 s single-"
+                         "execution watchdog this environment enforces "
+                         "(probe_long_execution.py). 0 = one-program scan")
     ap.add_argument("--no-auto-layout", action="store_true",
                     help="bisect aid: skip compile_auto_layouts on the "
                          "fused program — the relayout runs ONLY on the "
@@ -146,7 +154,9 @@ def main():
     if args.unguided:
         g = GuidanceConfig(guided=False, flf_backend="longcat")
         video_ref = mask = None
-    mode = ("loop" if args.no_fused else "fused") + \
+    mode = ("loop" if args.no_fused else
+            (f"chunked{args.exec_chunk}" if args.exec_chunk
+             else "fused")) + \
            ("-unguided" if args.unguided else "-guided") + \
            ("-noflf" if args.no_flf else "") + \
            ("-noirr" if args.no_irr else "")
@@ -157,7 +167,8 @@ def main():
             height=h, width=w, num_frames=nf,
             num_inference_steps=args.steps, guidance_scale=1.0,
             use_distill=True, video_ref=video_ref, mask=mask, guidance=g,
-            output_type="latent", fused=not args.no_fused)
+            output_type="latent", fused=not args.no_fused,
+            exec_chunk=args.exec_chunk)
         _sync(out_lat)
         t_denoise = time.perf_counter() - t0
         tag = "incl. compile" if clip == 0 else "steady-state"

@@ -137,68 +137,105 @@ class LongCatPipeline:
 
         return cache_cond, step
 
+    def _make_fused_fns(self, guidance: GuidanceConfig, do_cfg: bool,
+                        guided_on: bool, gscale: float, dit_params,
+                        vae_params, pe, pmask, ne, nmask, video_ref, mask,
+                        t_lat: int):
+        """model_fn/fuse_fn closures over TRACED args — shared by the
+        one-program fused runner and the chunked-execution programs."""
+        from worldforge_tpu.ops.flow import video_channel_flows_pair
+        from worldforge_tpu.sampling.channel_select import (
+            _flow_similarity_scores, select_mask_longcat_device)
+        from worldforge_tpu.sampling.guidance import fuse_latents as _fuse
+
+        cfg = self.dit_cfg
+
+        def model_fn(lat, t):
+            tb = jnp.broadcast_to(t, (lat.shape[0], t_lat))
+            tb = tb.at[:, 0].set(0.0)
+            v = longcat_dit_forward(dit_params, cfg,
+                                    lat.astype(jnp.float32), tb, pe,
+                                    encoder_attention_mask=pmask,
+                                    num_cond_latents=1,
+                                    mesh=self.mesh, policy=self.policy,
+                                    token_chunk=self.token_chunk)
+            if do_cfg:
+                vu = longcat_dit_forward(dit_params, cfg,
+                                         lat.astype(jnp.float32), tb,
+                                         ne, encoder_attention_mask=nmask,
+                                         num_cond_latents=1,
+                                         mesh=self.mesh,
+                                         policy=self.policy,
+                                         token_chunk=self.token_chunk)
+                v = cfg_zero_combine(v, vu, gscale)
+            return -v
+
+        fuse_fn = None
+        if guided_on:
+            def fuse_fn(x0_full, step):
+                pre = x0_full
+                _d, _e = self._vae_fns()
+                fused = _fuse(
+                    x0_full, video_ref, mask,
+                    lambda z: _d(vae_params, self.vae_cfg, z),
+                    lambda v: _e(vae_params, self.vae_cfg, v))
+                if guidance.use_flf:
+                    scores = _flow_similarity_scores(
+                        *video_channel_flows_pair(pre, fused),
+                        variant="longcat")
+                    m = select_mask_longcat_device(
+                        scores, step, guidance.distill,
+                        guidance.max_replace)
+                    m = m[None, :, None, None, None]
+                    fused = fused * (1.0 - m) + pre * m
+                return fused
+
+        return model_fn, fuse_fn
+
     @functools.lru_cache(maxsize=8)
     def _fused_runner(self, guidance: GuidanceConfig, num_steps: int,
                       flow_shift: float, use_distill: bool, do_cfg: bool,
                       guided_on: bool, gscale: float):
         """One cached jit program for the whole i2v denoise loop."""
-        from worldforge_tpu.ops.flow import video_channel_flows_pair
-        from worldforge_tpu.sampling.channel_select import (
-            _flow_similarity_scores, select_mask_longcat_device)
         from worldforge_tpu.sampling.engine import longcat_denoise_scan
-        from worldforge_tpu.sampling.guidance import fuse_latents as _fuse
 
-        cfg = self.dit_cfg
         sched = make_flow_match_schedule(num_steps, shift=flow_shift,
                                          use_distill=use_distill)
 
         @jax.jit
         def run(dit_params, vae_params, latents, pe, pmask, ne, nmask,
                 video_ref, mask, key):
-            t_lat = latents.shape[2]
-
-            def model_fn(lat, t):
-                tb = jnp.broadcast_to(t, (lat.shape[0], t_lat))
-                tb = tb.at[:, 0].set(0.0)
-                v = longcat_dit_forward(dit_params, cfg,
-                                        lat.astype(jnp.float32), tb, pe,
-                                        encoder_attention_mask=pmask,
-                                        num_cond_latents=1,
-                                        mesh=self.mesh, policy=self.policy,
-                                        token_chunk=self.token_chunk)
-                if do_cfg:
-                    vu = longcat_dit_forward(dit_params, cfg,
-                                             lat.astype(jnp.float32), tb,
-                                             ne, encoder_attention_mask=nmask,
-                                             num_cond_latents=1,
-                                             mesh=self.mesh,
-                                             policy=self.policy,
-                                             token_chunk=self.token_chunk)
-                    v = cfg_zero_combine(v, vu, gscale)
-                return -v
-
-            fuse_fn = None
-            if guided_on:
-                def fuse_fn(x0_full, step):
-                    pre = x0_full
-                    _d, _e = self._vae_fns()
-                    fused = _fuse(
-                        x0_full, video_ref, mask,
-                        lambda z: _d(vae_params, self.vae_cfg, z),
-                        lambda v: _e(vae_params, self.vae_cfg, v))
-                    if guidance.use_flf:
-                        scores = _flow_similarity_scores(
-                            *video_channel_flows_pair(pre, fused),
-                            variant="longcat")
-                        m = select_mask_longcat_device(
-                            scores, step, guidance.distill,
-                            guidance.max_replace)
-                        m = m[None, :, None, None, None]
-                        fused = fused * (1.0 - m) + pre * m
-                    return fused
-
+            model_fn, fuse_fn = self._make_fused_fns(
+                guidance, do_cfg, guided_on, gscale, dit_params, vae_params,
+                pe, pmask, ne, nmask, video_ref, mask, latents.shape[2])
             return longcat_denoise_scan(model_fn, latents, sched, guidance,
                                         key=key, fuse_fn=fuse_fn)
+
+        return run
+
+    @functools.lru_cache(maxsize=16)
+    def _chunk_prog(self, guidance: GuidanceConfig, do_cfg: bool,
+                    guided_on: bool, gscale: float, seg_fuse: bool,
+                    seg_irr: bool):
+        """Jitted k-step scan program for chunked-execution fused serving
+        (one program per (seg_fuse, seg_irr); jit re-specializes per chunk
+        length). The fused math is IDENTICAL to longcat_denoise_scan —
+        same make_longcat_body, same xs tables (longcat_scan_chunks) —
+        split so no single device execution exceeds the runtime's
+        watchdog (~65-72 s here; docs/COMPONENTS.md deviation 9,
+        scripts/probe_long_execution.py)."""
+        from worldforge_tpu.sampling.engine import make_longcat_body
+
+        @jax.jit
+        def run(dit_params, vae_params, lat, key, xs, pe, pmask, ne, nmask,
+                video_ref, mask):
+            model_fn, fuse_fn = self._make_fused_fns(
+                guidance, do_cfg, guided_on, gscale, dit_params, vae_params,
+                pe, pmask, ne, nmask, video_ref, mask, lat.shape[2])
+            body = make_longcat_body(model_fn, fuse_fn, guidance,
+                                     seg_fuse, seg_irr)
+            (lat, key), _ = jax.lax.scan(body, (lat, key), xs)
+            return lat, key
 
         return run
 
@@ -224,6 +261,7 @@ class LongCatPipeline:
         output_type: str = "np",
         noise_fn: Optional[Callable] = None,
         fused: bool = False,
+        exec_chunk: int = 0,
     ):
         b = image.shape[0]
         do_cfg = guidance_scale > 1 and negative_prompt_embeds is not None \
@@ -250,13 +288,43 @@ class LongCatPipeline:
                                    distill=use_distill)
 
         if fused:
-            runner = self._fused_runner(gcfg, num_inference_steps,
-                                        flow_shift, use_distill, do_cfg,
-                                        guided_on, float(guidance_scale))
             ref_arg = video_ref if guided_on else jnp.zeros(
                 (b, 3, num_frames, height, width), jnp.float32)
             mask_arg = mask if guided_on else jnp.zeros(
                 (b, 1, num_frames, height, width), jnp.float32)
+            if exec_chunk:
+                # chunked-execution fused serving: the same compiled scan
+                # body, dispatched in <=exec_chunk-step executions so no
+                # single device execution exceeds the runtime watchdog
+                # (~65-72 s here — docs/COMPONENTS.md deviation 9). Plain
+                # jit (no relayout): the auto-layout win is Wan-i2v-sized
+                # int4 stacks; LongCat compiles and fits without it.
+                from worldforge_tpu.sampling.engine import \
+                    longcat_scan_chunks
+                plan = longcat_scan_chunks(sched, gcfg, guided_on,
+                                           exec_chunk)
+                ne_arg = (negative_prompt_embeds if do_cfg
+                          else prompt_embeds)
+                nm_arg = (negative_prompt_mask if do_cfg else prompt_mask)
+                lat, k_run = latents, key
+                for seg_fuse, seg_irr, xs in plan:
+                    prog = self._chunk_prog(gcfg, do_cfg, guided_on,
+                                            float(guidance_scale),
+                                            seg_fuse, seg_irr)
+                    xs_dev = tuple(jnp.asarray(t) for t in xs)
+                    lat, k_run = prog(self.dit_params, self.vae_params,
+                                      lat, k_run, xs_dev, prompt_embeds,
+                                      prompt_mask, ne_arg, nm_arg,
+                                      ref_arg, mask_arg)
+                latents = lat
+                if output_type == "latent":
+                    return latents
+                video = dec(latents)
+                out = (np.asarray(video, np.float32) + 1.0) / 2.0
+                return np.clip(out, 0.0, 1.0)
+            runner = self._fused_runner(gcfg, num_inference_steps,
+                                        flow_shift, use_distill, do_cfg,
+                                        guided_on, float(guidance_scale))
             run_args = (self.dit_params, self.vae_params, latents,
                         prompt_embeds, prompt_mask,
                         negative_prompt_embeds if do_cfg else prompt_embeds,

@@ -311,89 +311,129 @@ def wan_denoise_scan(
     return carry[0]
 
 
-def longcat_denoise_scan(
-    model_fn: Callable,
-    latents: jnp.ndarray,
-    sched,
-    guidance: GuidanceConfig,
-    *,
-    key,
-    fuse_fn: Optional[Callable] = None,
-) -> jnp.ndarray:
-    """LongCat i2v denoise loop (flow-match Euler + IRR/DSG on the noise
-    frames, cond frame in slot 0) as lax.scan segments — the Euler analog of
-    wan_denoise_scan. model_fn(latents_full, t_scalar) -> NEGATED velocity
-    for the full latents (CFG-zero applied inside); fuse_fn(x0_full, step)
-    -> fused full-latent x0. Semantics: pipeline_longcat_video.py:827-991.
-    """
+def _longcat_tables(sched, guidance: GuidanceConfig, fuse_on: bool):
+    """Segment bounds + per-step xs tables shared by the one-program scan
+    (longcat_denoise_scan) and the chunked-execution plan
+    (longcat_scan_chunks). xs order: (t, sigma, sigma_next, omega, step)."""
     import numpy as np
 
     n = sched.num_steps
-    rs = guidance.resample_steps
     r_round = min(guidance.resample_round, n)
     g_steps = min(guidance.guide_steps, n)
-    fuse_on = fuse_fn is not None
 
     ts = np.asarray(sched.timesteps, np.float32)
     sig = np.asarray(sched.sigmas[:-1], np.float32)
     sig_next = np.asarray(sched.sigmas[1:], np.float32)
     omegas = np.where(np.arange(n) < g_steps, guidance.omega,
                       guidance.omega_resample).astype(np.float32)
+    steps = np.arange(n, dtype=np.float32)
 
     bounds = sorted({0, g_steps if fuse_on else 0,
                      r_round if guidance.guided else 0, n})
     segments = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    return segments, (ts, sig, sig_next, omegas, steps), g_steps, r_round
 
-    def make_body(seg_fuse: bool, seg_irr: bool):
-        dsg_on = seg_irr and rs >= 2 and guidance.guided
 
-        def body(carry, xs):
-            lat, k = carry
-            t_i, s_i, sn_i, om_i, step_i = xs
+def longcat_scan_chunks(sched, guidance: GuidanceConfig, fuse_on: bool,
+                        exec_chunk: int):
+    """Chunked-execution plan: the SAME segment structure
+    longcat_denoise_scan runs inside one jit, sub-split so no chunk scans
+    more than exec_chunk steps — for runtimes that kill long single
+    executions (the ~65-72 s watchdog pinned by
+    scripts/probe_long_execution.py; docs/COMPONENTS.md deviation 9).
+    Returns [(seg_fuse, seg_irr, xs_numpy_tuple), ...]; chunks with equal
+    (seg_fuse, seg_irr, length) share one compiled program.
+    """
+    segments, tables, g_steps, r_round = _longcat_tables(sched, guidance,
+                                                         fuse_on)
+    plan = []
+    for a, b in segments:
+        seg_fuse = fuse_on and a < g_steps
+        seg_irr = guidance.guided and a < r_round
+        for c in range(a, b, exec_chunk):
+            d = min(c + exec_chunk, b)
+            plan.append((seg_fuse, seg_irr,
+                         tuple(t[c:d] for t in tables)))
+    return plan
 
-            def run_r(lat, first):
-                v = model_fn(lat, t_i)
-                vn = v[:, :, 1:]
-                x0 = lat[:, :, 1:] - s_i * vn
-                if seg_fuse and first:
-                    vfull = jnp.concatenate(
-                        [jnp.zeros_like(v[:, :, :1]), vn], axis=2)
-                    x0f = lat - s_i * vfull
-                    x0 = fuse_fn(x0f, step_i)[:, :, 1:]
-                elif seg_fuse:
-                    pass  # reference fuses only when not resampling
-                prev = lat[:, :, 1:] + (sn_i - s_i) * vn
-                # DSG history records the SLICED noise-frame output
-                # (pipeline :896 calls step with noise_pred[:, :, 1:])
-                return vn, x0, prev
 
-            v0, x0, prev = run_r(lat, True)
-            v_last = v0
-            if seg_irr and rs >= 2:
-                for _ in range(rs - 1):
-                    k, kn = jax.random.split(k)
-                    noise = jax.random.normal(kn, x0.shape, x0.dtype)
-                    lat = lat.at[:, :, 1:].set((1.0 - s_i) * x0
-                                               + s_i * noise)
-                    v, x0, prev = run_r(lat, False)
-                    v_last = v
+def make_longcat_body(model_fn: Callable, fuse_fn: Optional[Callable],
+                      guidance: GuidanceConfig, seg_fuse: bool,
+                      seg_irr: bool):
+    """Per-step scan body for the LongCat denoise loop (flow-match Euler +
+    IRR/DSG on the noise frames, cond frame in slot 0). Carry: (latents,
+    key). xs: (t, sigma, sigma_next, omega, step). Semantics:
+    pipeline_longcat_video.py:827-991."""
+    rs = guidance.resample_steps
+    dsg_on = seg_irr and rs >= 2 and guidance.guided
 
-            if dsg_on:
-                better = dsg_extrapolate(v_last, v0, om_i)
-                nxt = lat[:, :, 1:] + (sn_i - s_i) * better
-                lat = lat.at[:, :, 1:].set(nxt)
-            else:
-                lat = lat.at[:, :, 1:].set(prev)
-            return (lat, k), None
+    def body(carry, xs):
+        lat, k = carry
+        t_i, s_i, sn_i, om_i, step_i = xs
 
-        return body
+        def run_r(lat, first):
+            v = model_fn(lat, t_i)
+            vn = v[:, :, 1:]
+            x0 = lat[:, :, 1:] - s_i * vn
+            if seg_fuse and first:
+                vfull = jnp.concatenate(
+                    [jnp.zeros_like(v[:, :, :1]), vn], axis=2)
+                x0f = lat - s_i * vfull
+                x0 = fuse_fn(x0f, step_i)[:, :, 1:]
+            elif seg_fuse:
+                pass  # reference fuses only when not resampling
+            prev = lat[:, :, 1:] + (sn_i - s_i) * vn
+            # DSG history records the SLICED noise-frame output
+            # (pipeline :896 calls step with noise_pred[:, :, 1:])
+            return vn, x0, prev
 
+        v0, x0, prev = run_r(lat, True)
+        v_last = v0
+        if seg_irr and rs >= 2:
+            for _ in range(rs - 1):
+                k, kn = jax.random.split(k)
+                noise = jax.random.normal(kn, x0.shape, x0.dtype)
+                lat = lat.at[:, :, 1:].set((1.0 - s_i) * x0
+                                           + s_i * noise)
+                v, x0, prev = run_r(lat, False)
+                v_last = v
+
+        if dsg_on:
+            better = dsg_extrapolate(v_last, v0, om_i)
+            nxt = lat[:, :, 1:] + (sn_i - s_i) * better
+            lat = lat.at[:, :, 1:].set(nxt)
+        else:
+            lat = lat.at[:, :, 1:].set(prev)
+        return (lat, k), None
+
+    return body
+
+
+def longcat_denoise_scan(
+    model_fn,
+    latents,
+    sched,
+    guidance: GuidanceConfig,
+    *,
+    key,
+    fuse_fn=None,
+):
+    """LongCat i2v denoise loop as lax.scan segments inside ONE traced
+    program — the Euler analog of wan_denoise_scan. model_fn(latents_full,
+    t_scalar) -> NEGATED velocity for the full latents (CFG-zero applied
+    inside); fuse_fn(x0_full, step) -> fused full-latent x0. Semantics:
+    pipeline_longcat_video.py:827-991. For chunked-execution serving on
+    watchdog-limited runtimes see longcat_scan_chunks + the pipeline's
+    exec_chunk path."""
+    fuse_on = fuse_fn is not None
+    segments, tables, g_steps, r_round = _longcat_tables(sched, guidance,
+                                                         fuse_on)
     carry = (latents, key)
     for a, b in segments:
         seg_fuse = fuse_on and a < g_steps
         seg_irr = guidance.guided and a < r_round
-        xs = (jnp.asarray(ts[a:b]), jnp.asarray(sig[a:b]),
-              jnp.asarray(sig_next[a:b]), jnp.asarray(omegas[a:b]),
-              jnp.arange(a, b, dtype=jnp.float32))
-        carry, _ = jax.lax.scan(make_body(seg_fuse, seg_irr), carry, xs)
+        xs = tuple(jnp.asarray(t[a:b]) for t in tables)
+        body = make_longcat_body(model_fn, fuse_fn, guidance, seg_fuse,
+                                 seg_irr)
+        carry, _ = jax.lax.scan(body, carry, xs)
     return carry[0]
