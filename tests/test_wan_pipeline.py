@@ -139,3 +139,39 @@ def test_soften_mask():
     # all-ones frame untouched
     ones = np.ones((1, 8, 8), np.float32)
     np.testing.assert_array_equal(soften_mask(ones, 3), ones)
+
+
+def test_chunked_execution_matches_fused(tiny_pipe):
+    """exec_chunk (watchdog-limited fused serving: same scan body
+    dispatched in <=k-step executions, UniPC m0/m1 history riding the
+    carry — docs/COMPONENTS.md deviation 9) must match the one-program
+    fused scan for every chunk size. Tolerance: the chunk programs take
+    the xs tables as runtime args where the one-program scan embeds them
+    as constants, so XLA's folding differs by ~1 ulp in the UniPC update
+    (measured max 1.2e-7 guided); the unguided case is exact."""
+    image, pe, ne, ie, ref, mask = _inputs(tiny_pipe)
+    kwargs = dict(height=16, width=16, num_frames=5, num_inference_steps=5,
+                  guidance_scale=4.0, video_ref=ref, mask=mask,
+                  output_type="latent",
+                  guidance=GuidanceConfig(guided=True, guide_steps=3,
+                                          resample_steps=2,
+                                          resample_round=4, use_flf=True))
+    o_fused = tiny_pipe.generate(jax.random.key(13), image, pe, ne, ie,
+                                 fused=True, **kwargs)
+    for k in (1, 2, 3):
+        o_chunk = tiny_pipe.generate(jax.random.key(13), image, pe, ne, ie,
+                                     fused=True, exec_chunk=k, **kwargs)
+        np.testing.assert_allclose(np.asarray(o_chunk),
+                                   np.asarray(o_fused),
+                                   rtol=0, atol=3e-6,
+                                   err_msg=f"exec_chunk={k}")
+
+    # unguided: chunked == fused (chunk boundary inside a plain segment)
+    kw_u = dict(height=16, width=16, num_frames=5, num_inference_steps=4,
+                guidance_scale=4.0, output_type="latent",
+                guidance=GuidanceConfig(guided=False, resample_steps=1))
+    o_f = tiny_pipe.generate(jax.random.key(14), image, pe, ne, ie,
+                             fused=True, **kw_u)
+    o_c = tiny_pipe.generate(jax.random.key(14), image, pe, ne, ie,
+                             fused=True, exec_chunk=3, **kw_u)
+    np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_f))

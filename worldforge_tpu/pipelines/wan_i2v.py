@@ -124,64 +124,109 @@ class WanI2VPipeline:
 
         return run, run_nocfg
 
+    def _make_fused_fns(self, guidance: GuidanceConfig, do_cfg: bool,
+                        guided_on: bool, gscale: float, dit_params,
+                        vae_params, condition, pe, ne, ie, video_ref, mask):
+        """model_fn/fuse_fn/flf_fn closures over TRACED args — shared by
+        the one-program fused runner and the chunked-execution programs."""
+        from worldforge_tpu.sampling.channel_select import (
+            select_mask_wan_device, _flow_similarity_scores)
+        from worldforge_tpu.ops.flow import video_channel_flows_pair
+        from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
+
+        cfg = self.dit_cfg
+        _dec, _enc = vae_fn_pair(self.streaming_vae,
+                                 self.streaming_vae_chunk)
+
+        def model_fn(lat, t):
+            x = lat.astype(jnp.float32)
+            y = condition.astype(jnp.float32)
+            tb = jnp.broadcast_to(t, (lat.shape[0],))
+            pred = wan_dit_forward(dit_params, cfg, x, tb, pe,
+                                   clip_fea=ie, y=y, mesh=self.mesh,
+                                   policy=self.policy,
+                                   token_chunk=self.token_chunk)
+            if do_cfg:
+                unc = wan_dit_forward(dit_params, cfg, x, tb, ne,
+                                      clip_fea=ie, y=y, mesh=self.mesh,
+                                      policy=self.policy,
+                                      token_chunk=self.token_chunk)
+                pred = pred + gscale * (pred - unc)
+            return pred
+
+        fuse_fn = None
+        flf_fn = None
+        if guided_on:
+            def fuse_fn(x0, step):
+                return fuse_latents(
+                    x0, video_ref, mask,
+                    lambda z: _dec(vae_params, self.vae_cfg, z),
+                    lambda v: _enc(vae_params, self.vae_cfg, v))
+
+            if guidance.use_flf:
+                def flf_fn(pre, fused_x0, step):
+                    scores = _flow_similarity_scores(
+                        *video_channel_flows_pair(pre, fused_x0))
+                    m = select_mask_wan_device(scores, step)
+                    m = m[None, :, None, None, None]
+                    return fused_x0 * (1.0 - m) + pre * m
+
+        return model_fn, fuse_fn, flf_fn
+
     @functools.lru_cache(maxsize=8)
     def _fused_runner(self, guidance: GuidanceConfig, num_steps: int,
                       flow_shift: float, do_cfg: bool, guided_on: bool,
                       gscale: float):
         """One cached jit program for the whole denoise loop (keyed on the
         static config; shapes key the XLA cache underneath)."""
-        from worldforge_tpu.sampling.channel_select import (
-            select_mask_wan_device, _flow_similarity_scores)
-        from worldforge_tpu.ops.flow import video_channel_flows_pair
         from worldforge_tpu.sampling.engine import wan_denoise_scan
 
-        cfg = self.dit_cfg
         sched = make_flow_unipc_schedule(num_steps, flow_shift)
-        from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
-        _dec, _enc = vae_fn_pair(self.streaming_vae,
-                                 self.streaming_vae_chunk)
 
         @jax.jit
         def run(dit_params, vae_params, latents, condition, pe, ne, ie,
                 video_ref, mask, key):
-            def model_fn(lat, t):
-                x = lat.astype(jnp.float32)
-                y = condition.astype(jnp.float32)
-                tb = jnp.broadcast_to(t, (lat.shape[0],))
-                pred = wan_dit_forward(dit_params, cfg, x, tb, pe,
-                                       clip_fea=ie, y=y, mesh=self.mesh,
-                                   policy=self.policy,
-                                   token_chunk=self.token_chunk)
-                if do_cfg:
-                    unc = wan_dit_forward(dit_params, cfg, x, tb, ne,
-                                          clip_fea=ie, y=y, mesh=self.mesh,
-                                   policy=self.policy,
-                                   token_chunk=self.token_chunk)
-                    pred = pred + gscale * (pred - unc)
-                return pred
-
-            fuse_fn = None
-            flf_fn = None
-            if guided_on:
-                def fuse_fn(x0, step):
-                    return fuse_latents(
-                        x0, video_ref, mask,
-                        lambda z: _dec(vae_params, self.vae_cfg, z),
-                        lambda v: _enc(vae_params, self.vae_cfg, v))
-
-                if guidance.use_flf:
-                    def flf_fn(pre, fused_x0, step):
-                        scores = _flow_similarity_scores(
-                            *video_channel_flows_pair(pre, fused_x0))
-                        m = select_mask_wan_device(scores, step)
-                        m = m[None, :, None, None, None]
-                        return fused_x0 * (1.0 - m) + pre * m
-
+            model_fn, fuse_fn, flf_fn = self._make_fused_fns(
+                guidance, do_cfg, guided_on, gscale, dit_params, vae_params,
+                condition, pe, ne, ie, video_ref, mask)
             return wan_denoise_scan(model_fn, latents, sched, guidance,
                                     key=key, fuse_fn=fuse_fn, flf_fn=flf_fn,
                                     record_r0=do_cfg)
 
         return run
+
+    @functools.lru_cache(maxsize=16)
+    def _chunk_fn_raw(self, guidance: GuidanceConfig, do_cfg: bool,
+                      guided_on: bool, gscale: float, seg_fuse: bool,
+                      seg_irr: bool):
+        """Un-jitted k-step scan program for chunked-execution fused
+        serving (the ~65-75 s single-execution watchdog; docs/
+        COMPONENTS.md deviation 9). Math identical to wan_denoise_scan:
+        same make_wan_body, same xs tables (wan_scan_chunks); the UniPC
+        m0/m1 multistep history crosses chunks via the carry. Arg order:
+        (dit_params, vae_params, lat, m0, m1, key, xs, condition, pe, ne,
+        ie, video_ref, mask)."""
+        from worldforge_tpu.sampling.engine import make_wan_body
+
+        def run(dit_params, vae_params, lat, m0, m1, key, xs, condition,
+                pe, ne, ie, video_ref, mask):
+            model_fn, fuse_fn, flf_fn = self._make_fused_fns(
+                guidance, do_cfg, guided_on, gscale, dit_params, vae_params,
+                condition, pe, ne, ie, video_ref, mask)
+            body = make_wan_body(model_fn, fuse_fn, flf_fn, guidance,
+                                 do_cfg, seg_fuse, seg_irr)
+            carry, _ = jax.lax.scan(body, (lat, m0, m1, key), xs)
+            return carry
+
+        return run
+
+    @functools.lru_cache(maxsize=16)
+    def _chunk_prog(self, guidance: GuidanceConfig, do_cfg: bool,
+                    guided_on: bool, gscale: float, seg_fuse: bool,
+                    seg_irr: bool):
+        """Plain-jit chunk program (the no-auto-layout path)."""
+        return jax.jit(self._chunk_fn_raw(guidance, do_cfg, guided_on,
+                                          gscale, seg_fuse, seg_irr))
 
     def prepare_latents(self, key, image, batch_size: int, height: int,
                         width: int, num_frames: int
@@ -214,6 +259,32 @@ class WanI2VPipeline:
 
     # ------------------------------------------------------------ generate
 
+    def _run_fused_one_program(self, guidance, num_inference_steps,
+                               flow_shift, do_cfg, guided_on, gscale,
+                               latents, condition, prompt_embeds, ne_arg,
+                               image_embeds, ref_arg, mask_arg, key):
+        runner = self._fused_runner(
+            guidance, num_inference_steps, flow_shift, do_cfg,
+            guided_on, gscale)
+        run_args = (self.dit_params, self.vae_params, latents,
+                    condition, prompt_embeds, ne_arg,
+                    image_embeds, ref_arg, mask_arg, key)
+        if self.auto_layout:
+            from worldforge_tpu.runtime.layouts import \
+                compile_auto_layouts
+            # auto-layout the big DATA args too (latents/condition/
+            # ref/mask), not just the weight trees: with default entry
+            # layouts XLA materializes HLO-temp copies of each (the
+            # round-4 720p post-mortem shows a 119 MB copy of
+            # video_ref alone) — on a 16 GB chip those copies are the
+            # difference between the fused program fitting and not
+            compiled, run_args = compile_auto_layouts(
+                runner, run_args, auto_argnums=(0, 1, 2, 3, 7, 8))
+            self.dit_params = run_args[0]   # now in preferred layout
+            self.vae_params = run_args[1]
+            return compiled(*run_args)
+        return runner(*run_args)
+
     def generate(
         self,
         key,
@@ -235,6 +306,7 @@ class WanI2VPipeline:
         callback: Optional[Callable[[int, jnp.ndarray], None]] = None,
         noise_fn: Optional[Callable] = None,
         fused: bool = False,
+        exec_chunk: int = 0,
     ):
         """noise_fn(shape) -> array overrides the JAX RNG for initial
         latents and IRR re-noise — used by the drift harness to inject
@@ -285,33 +357,70 @@ class WanI2VPipeline:
 
         if fused:
             assert noise_fn is None and callback is None
-            runner = self._fused_runner(
-                guidance, num_inference_steps, flow_shift, do_cfg,
-                guided_on, float(guidance_scale))
             ref_arg = video_ref if guided_on else jnp.zeros(
                 (batch, 3, num_frames, height, width), jnp.float32)
             mask_arg = mask if guided_on else jnp.zeros(
                 (batch, 1, num_frames, height, width), jnp.float32)
-            run_args = (self.dit_params, self.vae_params, latents,
-                        condition, prompt_embeds,
-                        negative_prompt_embeds if do_cfg else prompt_embeds,
-                        image_embeds, ref_arg, mask_arg, key)
-            if self.auto_layout:
-                from worldforge_tpu.runtime.layouts import \
-                    compile_auto_layouts
-                # auto-layout the big DATA args too (latents/condition/
-                # ref/mask), not just the weight trees: with default entry
-                # layouts XLA materializes HLO-temp copies of each (the
-                # round-4 720p post-mortem shows a 119 MB copy of
-                # video_ref alone) — on a 16 GB chip those copies are the
-                # difference between the fused program fitting and not
-                compiled, run_args = compile_auto_layouts(
-                    runner, run_args, auto_argnums=(0, 1, 2, 3, 7, 8))
-                self.dit_params = run_args[0]   # now in preferred layout
-                self.vae_params = run_args[1]
-                latents = compiled(*run_args)
+            ne_arg = negative_prompt_embeds if do_cfg else prompt_embeds
+            if exec_chunk:
+                # chunked-execution fused serving: <=exec_chunk-step
+                # programs so no single device execution exceeds the
+                # runtime watchdog (~65-75 s here; COMPONENTS.md
+                # deviation 9). UniPC m0/m1 history rides the carry.
+                from worldforge_tpu.sampling.engine import wan_scan_chunks
+                sched_c = make_flow_unipc_schedule(num_inference_steps,
+                                                   flow_shift)
+                plan = wan_scan_chunks(sched_c, guidance, guided_on,
+                                       exec_chunk)
+                lat = latents
+                m0 = jnp.zeros_like(latents)
+                m1 = jnp.zeros_like(latents)
+                k_run = key
+                from worldforge_tpu.runtime.layouts import (
+                    auto_layouts_supported, compile_auto_layouts,
+                    jit_matching_layouts)
+                use_layouts = self.auto_layout and auto_layouts_supported()
+                # persistent (across-chunk) args get compiler-chosen
+                # layouts, relaid once; the flowing carry (lat/m0/m1)
+                # keeps default layouts so programs compose
+                LAYOUT_ARGS = (0, 1, 7, 11, 12)
+                progs = {}
+                relaid = False
+                for seg_fuse, seg_irr, xs in plan:
+                    sig = (seg_fuse, seg_irr, len(xs[0]))
+                    xs_dev = tuple(jnp.asarray(t) for t in xs)
+                    args = (self.dit_params, self.vae_params, lat, m0, m1,
+                            k_run, xs_dev, condition, prompt_embeds,
+                            ne_arg, image_embeds, ref_arg, mask_arg)
+                    if sig not in progs:
+                        if not use_layouts:
+                            progs[sig] = self._chunk_prog(
+                                guidance, do_cfg, guided_on,
+                                float(guidance_scale), seg_fuse, seg_irr)
+                        else:
+                            raw = self._chunk_fn_raw(
+                                guidance, do_cfg, guided_on,
+                                float(guidance_scale), seg_fuse, seg_irr)
+                            if not relaid:
+                                compiled, args = compile_auto_layouts(
+                                    raw, args, auto_argnums=LAYOUT_ARGS)
+                                self.dit_params = args[0]
+                                self.vae_params = args[1]
+                                condition, ref_arg, mask_arg = (
+                                    args[7], args[11], args[12])
+                                relaid = True
+                                progs[sig] = compiled
+                            else:
+                                progs[sig] = jit_matching_layouts(
+                                    raw, args, argnums=LAYOUT_ARGS)
+                    lat, m0, m1, k_run = progs[sig](*args)
+                latents = lat
             else:
-                latents = runner(*run_args)
+                latents = self._run_fused_one_program(
+                    guidance, num_inference_steps, flow_shift, do_cfg,
+                    guided_on, float(guidance_scale), latents, condition,
+                    prompt_embeds, ne_arg, image_embeds, ref_arg, mask_arg,
+                    key)
         else:
             from worldforge_tpu.sampling.engine import wan_denoise_loop
             latents = wan_denoise_loop(

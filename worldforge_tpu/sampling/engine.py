@@ -211,6 +211,107 @@ def _order_coeffs(sched: FlowUniPCSchedule):
     return cx, cm0, cm1
 
 
+def _wan_tables(sched: FlowUniPCSchedule, guidance: GuidanceConfig,
+                fuse_on: bool):
+    """Segment bounds + per-step xs tables shared by the one-program scan
+    (wan_denoise_scan) and the chunked-execution plan (wan_scan_chunks).
+    xs order: (t, t_resample, c_x, c_m0, c_m1, sigma, omega, final, step).
+    The UniPC order coefficients are baked per step (order = min(2, n-i,
+    i+1)), so slicing the tables preserves multistep semantics; the m0/m1
+    history crosses chunk boundaries via the carry."""
+    import numpy as np
+
+    n = sched.num_steps
+    r_round = min(guidance.resample_round, n)
+    g_steps = min(guidance.guide_steps, n)
+
+    cx, cm0, cm1 = _order_coeffs(sched)
+    ts = np.asarray(sched.timesteps, np.float32)
+    trs = np.asarray(sched.resample_timesteps, np.float32)
+    sig = np.asarray(sched.sigmas[:-1], np.float32)
+    omegas = np.where(np.arange(n) < g_steps, guidance.omega,
+                      guidance.omega_resample).astype(np.float32)
+    finals = (np.arange(n) == n - 1).astype(np.float32)
+    steps = np.arange(n, dtype=np.float32)
+
+    bounds = sorted({0, g_steps if fuse_on else 0, r_round, n})
+    segments = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    tables = (ts, trs, cx, cm0, cm1, sig, omegas, finals, steps)
+    return segments, tables, g_steps, r_round
+
+
+def wan_scan_chunks(sched: FlowUniPCSchedule, guidance: GuidanceConfig,
+                    fuse_on: bool, exec_chunk: int):
+    """Chunked-execution plan for the Wan denoise loop — the longcat
+    analog's twin (see longcat_scan_chunks): same segment structure as
+    wan_denoise_scan, sub-split so no chunk scans more than exec_chunk
+    steps. Returns [(seg_fuse, seg_irr, xs_numpy_tuple), ...]."""
+    segments, tables, g_steps, r_round = _wan_tables(sched, guidance,
+                                                     fuse_on)
+    plan = []
+    for a, b in segments:
+        seg_fuse = fuse_on and a < g_steps
+        seg_irr = a < r_round
+        for c in range(a, b, exec_chunk):
+            d = min(c + exec_chunk, b)
+            plan.append((seg_fuse, seg_irr,
+                         tuple(t[c:d] for t in tables)))
+    return plan
+
+
+def make_wan_body(model_fn: Callable, fuse_fn: Optional[Callable],
+                  flf_fn: Optional[Callable], guidance: GuidanceConfig,
+                  record_r0: bool, seg_fuse: bool, seg_irr: bool):
+    """Per-step scan body for the Wan UniPC + IRR/FLF/DSG loop. Carry:
+    (latents, m0, m1, key). xs: the _wan_tables order. Matches
+    wan_denoise_loop numerically (same coefficients, same state machine,
+    including the resample-mode final-step identity quirk)."""
+    rs = guidance.resample_steps
+    dsg_on = seg_irr and (rs >= 2 if record_r0 else rs >= 3)
+
+    def body(carry, xs):
+        lat, m0, m1, k = carry
+        t_i, tr_i, cxi, c0i, c1i, s_i, om_i, fin_i, step_i = xs
+
+        v0 = model_fn(lat, t_i)
+        x0 = lat - s_i * v0
+        if seg_fuse:
+            fused = fuse_fn(x0, step_i)
+            if flf_fn is not None:
+                fused = flf_fn(x0, fused, step_i)
+            x0 = fused
+        m1n, m0n = m0, x0
+        prev = cxi * lat + c0i * m0n + c1i * m1n
+
+        v_resample = []
+        if seg_irr and rs >= 2:
+            for _ in range(rs - 1):
+                k, kn = jax.random.split(k)
+                noise = jax.random.normal(kn, x0.shape, x0.dtype)
+                lat = (1.0 - s_i) * x0 + s_i * noise
+                v = model_fn(lat, tr_i)
+                v_resample.append(v)
+                x0 = lat - s_i * v
+                if seg_fuse:
+                    x0 = fuse_fn(x0, step_i)  # FLF skipped (r>0)
+                m0n = x0
+                prev = jnp.where(fin_i > 0, lat,
+                                 cxi * lat + c0i * m0n + c1i * m1n)
+
+        if dsg_on:
+            worse = v0 if record_r0 else v_resample[0]
+            good = v_resample[-1]
+            better = dsg_extrapolate(good, worse, om_i)
+            m0n = lat - s_i * better
+            nxt = cxi * lat + c0i * m0n + c1i * m1n
+            lat_next = jnp.where(fin_i > 0, lat, nxt)
+        else:
+            lat_next = prev
+        return (lat_next, m0n, m1n, k), None
+
+    return body
+
+
 def wan_denoise_scan(
     model_fn: Callable,
     latents: jnp.ndarray,
@@ -223,7 +324,7 @@ def wan_denoise_scan(
     record_r0: bool = True,
 ) -> jnp.ndarray:
     """The whole denoise loop — IRR, pixel-space fusion, device-side FLF
-    selection, DSG — as lax.scan segments inside ONE jit program (the
+    selection, DSG — as lax.scan segments inside ONE traced program (the
     reference runs this as Python callbacks; SURVEY §7: keeping it compiled
     is the single biggest TPU win).
 
@@ -231,84 +332,24 @@ def wan_denoise_scan(
     fuse_fn(x0, step_scalar) -> fused x0 (traceable; pixel blend).
     flf_fn(pre_x0, fused_x0, step_scalar) -> x0 (traceable; device FLF).
 
-    Matches wan_denoise_loop numerically (same coefficients, same state
-    machine, including the resample-mode final-step identity quirk).
+    For chunked-execution serving on watchdog-limited runtimes see
+    wan_scan_chunks + the pipeline's exec_chunk path.
     """
-    import numpy as np
-
-    n = sched.num_steps
-    rs = guidance.resample_steps
-    r_round = min(guidance.resample_round, n)
-    g_steps = min(guidance.guide_steps, n)
     fuse_on = fuse_fn is not None
-
-    cx, cm0, cm1 = _order_coeffs(sched)
-    ts = np.asarray(sched.timesteps, np.float32)
-    trs = np.asarray(sched.resample_timesteps, np.float32)
-    sig = np.asarray(sched.sigmas[:-1], np.float32)
-    omegas = np.where(np.arange(n) < g_steps, guidance.omega,
-                      guidance.omega_resample).astype(np.float32)
-    finals = (np.arange(n) == n - 1).astype(np.float32)
-
-    bounds = sorted({0, g_steps if fuse_on else 0, r_round, n})
-    segments = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
-
-    def make_body(seg_fuse: bool, seg_irr: bool):
-        dsg_on = seg_irr and (rs >= 2 if record_r0 else rs >= 3)
-
-        def body(carry, xs):
-            lat, m0, m1, k = carry
-            t_i, tr_i, cxi, c0i, c1i, s_i, om_i, fin_i, step_i = xs
-
-            v0 = model_fn(lat, t_i)
-            x0 = lat - s_i * v0
-            if seg_fuse:
-                fused = fuse_fn(x0, step_i)
-                if flf_fn is not None:
-                    fused = flf_fn(x0, fused, step_i)
-                x0 = fused
-            m1n, m0n = m0, x0
-            prev = cxi * lat + c0i * m0n + c1i * m1n
-
-            v_resample = []
-            if seg_irr and rs >= 2:
-                for _ in range(rs - 1):
-                    k, kn = jax.random.split(k)
-                    noise = jax.random.normal(kn, x0.shape, x0.dtype)
-                    lat = (1.0 - s_i) * x0 + s_i * noise
-                    v = model_fn(lat, tr_i)
-                    v_resample.append(v)
-                    x0 = lat - s_i * v
-                    if seg_fuse:
-                        x0 = fuse_fn(x0, step_i)  # FLF skipped (r>0)
-                    m0n = x0
-                    prev = jnp.where(fin_i > 0, lat,
-                                     cxi * lat + c0i * m0n + c1i * m1n)
-
-            if dsg_on:
-                worse = v0 if record_r0 else v_resample[0]
-                good = v_resample[-1]
-                better = dsg_extrapolate(good, worse, om_i)
-                m0n = lat - s_i * better
-                nxt = cxi * lat + c0i * m0n + c1i * m1n
-                lat_next = jnp.where(fin_i > 0, lat, nxt)
-            else:
-                lat_next = prev
-            return (lat_next, m0n, m1n, k), None
-
-        return body
-
+    segments, tables, g_steps, r_round = _wan_tables(sched, guidance,
+                                                     fuse_on)
     m0 = jnp.zeros_like(latents)
     m1 = jnp.zeros_like(latents)
     carry = (latents, m0, m1, key)
     for a, b in segments:
         seg_fuse = fuse_on and a < g_steps
         seg_irr = a < r_round
-        xs = tuple(jnp.asarray(arr[a:b]) for arr in
-                   (ts, trs, cx, cm0, cm1, sig, omegas, finals))
-        xs = xs + (jnp.arange(a, b, dtype=jnp.float32),)
-        carry, _ = jax.lax.scan(make_body(seg_fuse, seg_irr), carry, xs)
+        xs = tuple(jnp.asarray(t[a:b]) for t in tables)
+        body = make_wan_body(model_fn, fuse_fn, flf_fn, guidance,
+                             record_r0, seg_fuse, seg_irr)
+        carry, _ = jax.lax.scan(body, carry, xs)
     return carry[0]
+
 
 
 def _longcat_tables(sched, guidance: GuidanceConfig, fuse_on: bool):
