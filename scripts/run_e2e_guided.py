@@ -103,6 +103,13 @@ def main():
                          "post-cleanup in-process decode OOMs (a failed "
                          "720p execution can leave the allocator "
                          "unrecoverable in-process)")
+    ap.add_argument("--exec-chunk", type=int, default=0,
+                    help="fused mode: dispatch the SAME scan body in "
+                         "cost-weighted <=k-plain-step executions so no "
+                         "single device execution exceeds the ~65-75 s "
+                         "watchdog (probe_long_execution.py). k=4 at 480p "
+                         "(plain chunk 4 x 10.5 s = 42 s; guided chunk 1 "
+                         "= 2 CFG fwd + 2 fuses = 31 s). 0 = one program")
     ap.add_argument("--quant", choices=("int4", "int6-ffn"), default="int4",
                     help="DiT capacity recipe: 'int4' = all-int4 W4A8 "
                          "(~8.1 GB, guided drift ~2%%); 'int6-ffn' = int6 "
@@ -429,6 +436,45 @@ def run_fused(args, pipe, g, n_guided, dit_params, vae_params, latents,
     from worldforge_tpu.runtime.layouts import compile_auto_layouts
 
     nf = args.frames
+    guided_on = not args.unguided
+
+    if args.exec_chunk:
+        # chunked-execution fused serving (the 16 GB + watchdog mode):
+        # same scan body, sub-watchdog executions, UniPC history in the
+        # carry — run_fused_chunked handles layouts + program cache
+        chunk_times = []
+
+        def on_chunk(i, n_steps, seg_fuse, seg_irr, lat):
+            _sync(lat)
+            now = time.perf_counter()
+            dt = now - on_chunk.t0
+            on_chunk.t0 = now
+            chunk_times.append((n_steps, seg_fuse, dt))
+            tag = "guided" if seg_fuse else ("irr" if seg_irr else "plain")
+            print(f"    chunk {i}: {n_steps} {tag} step(s) in {dt:.1f} s",
+                  flush=True)
+
+        for rep in range(1 if args.no_repeat else 2):
+            chunk_times.clear()
+            t0 = time.perf_counter()
+            on_chunk.t0 = t0
+            out_lat = pipe.run_fused_chunked(
+                g, args.steps, 5.0, True, guided_on, 4.0, args.exec_chunk,
+                latents, condition, pe, ne, ie, video_ref, mask,
+                jax.random.key(10), on_chunk=on_chunk)
+            _sync(out_lat)
+            t_run = time.perf_counter() - t0
+            tag = "incl. compiles" if rep == 0 else "steady-state"
+            longest = max(dt for _, _, dt in chunk_times)
+            print(f"[5] chunked fused guided denoise, {args.steps} steps "
+                  f"({n_guided} guided, {len(chunk_times)} executions, "
+                  f"longest {longest:.1f} s): {t_run:.0f} s ({tag})",
+                  flush=True)
+        lat_host = np.asarray(out_lat, np.float32)
+        del out_lat
+        finish_decode(args, pipe, lat_host, t_run, t_all)
+        return
+
     runner = pipe._fused_runner(g, args.steps, 5.0, True, True, 4.0)
     run_args = (dit_params, vae_params, latents, condition, pe, ne, ie,
                 video_ref, mask, jax.random.key(10))
@@ -462,6 +508,11 @@ def run_fused(args, pipe, g, n_guided, dit_params, vae_params, latents,
         print(f"[5b] steady-state repeat: {t_run:.0f} s", flush=True)
         del out_lat
 
+    finish_decode(args, pipe, lat_host, t_run, t_all)
+
+
+def finish_decode(args, pipe, lat_host, t_run, t_all):
+    nf = args.frames
     dec = pipe._vae_decode_fn()
     t0 = time.perf_counter()
     video = dec(jnp.asarray(lat_host))

@@ -282,8 +282,99 @@ class WanI2VPipeline:
                 runner, run_args, auto_argnums=(0, 1, 2, 3, 7, 8))
             self.dit_params = run_args[0]   # now in preferred layout
             self.vae_params = run_args[1]
+            self.__dict__.pop("_vae_jit_fns", None)  # old buffers donated
             return compiled(*run_args)
         return runner(*run_args)
+
+    def run_fused_chunked(self, guidance, num_inference_steps, flow_shift,
+                          do_cfg, guided_on, gscale, exec_chunk, latents,
+                          condition, prompt_embeds, ne_arg, image_embeds,
+                          ref_arg, mask_arg, key, on_chunk=None):
+        """Chunked-execution fused serving: the SAME scan body as the
+        one-program fused runner, dispatched in cost-weighted <=exec_chunk-
+        plain-step executions so no single device execution exceeds the
+        runtime watchdog (~65-75 s here; docs/COMPONENTS.md deviation 9).
+        The UniPC m0/m1 multistep history rides the carry across chunks.
+        Persistent (across-chunk) args get compiler-chosen layouts relaid
+        once; the flowing carry (lat/m0/m1) keeps default layouts so the
+        chunk programs compose. on_chunk(i, n_steps, seg_fuse, seg_irr,
+        lat) is called after each chunk is dispatched with the chunk's
+        output latents (the e2e script syncs + times each execution
+        through it)."""
+        from worldforge_tpu.sampling.engine import wan_scan_chunks
+        from worldforge_tpu.runtime.layouts import (
+            auto_layouts_supported, compile_auto_layouts,
+            jit_matching_layouts, relayout_arg)
+
+        sched_c = make_flow_unipc_schedule(num_inference_steps, flow_shift)
+        plan = wan_scan_chunks(sched_c, guidance, guided_on, exec_chunk)
+        lat = latents
+        m0 = jnp.zeros_like(latents)
+        m1 = jnp.zeros_like(latents)
+        k_run = key
+        use_layouts = self.auto_layout and auto_layouts_supported()
+        # weights (0, 1) are relaid ONCE per process (originals donated);
+        # per-clip data args (7, 11, 12 = condition/ref/mask) are relaid
+        # per call to the same chosen formats, originals kept alive —
+        # callers reuse them across clips
+        LAYOUT_ARGS = (0, 1, 7, 11, 12)
+        DATA_ARGS = (7, 11, 12)
+        # instance-level program cache: repeat clips (steady-state serving)
+        # reuse the layout-compiled executables — they are shape-
+        # specialized, so the key includes the data shapes
+        cache_key = (guidance, do_cfg, guided_on, gscale, exec_chunk,
+                     latents.shape, ref_arg.shape, mask_arg.shape)
+        if not hasattr(self, "_chunk_progs_cache"):
+            self._chunk_progs_cache = {}
+        entry = self._chunk_progs_cache.setdefault(
+            cache_key, {"progs": {}, "data_fmts": None})
+        progs = entry["progs"]
+        relaid = bool(progs)  # weights already relaid on a previous clip
+        if relaid and use_layouts and entry["data_fmts"] is not None:
+            condition = relayout_arg(condition, entry["data_fmts"][0],
+                                     donate_old=False)
+            ref_arg = relayout_arg(ref_arg, entry["data_fmts"][1],
+                                   donate_old=False)
+            mask_arg = relayout_arg(mask_arg, entry["data_fmts"][2],
+                                    donate_old=False)
+        for i, (seg_fuse, seg_irr, xs) in enumerate(plan):
+            sig = (seg_fuse, seg_irr, len(xs[0]))
+            xs_dev = tuple(jnp.asarray(t) for t in xs)
+            args = (self.dit_params, self.vae_params, lat, m0, m1,
+                    k_run, xs_dev, condition, prompt_embeds,
+                    ne_arg, image_embeds, ref_arg, mask_arg)
+            if sig not in progs:
+                if not use_layouts:
+                    progs[sig] = self._chunk_prog(
+                        guidance, do_cfg, guided_on, gscale,
+                        seg_fuse, seg_irr)
+                else:
+                    raw = self._chunk_fn_raw(
+                        guidance, do_cfg, guided_on, gscale,
+                        seg_fuse, seg_irr)
+                    if not relaid:
+                        compiled, args = compile_auto_layouts(
+                            raw, args, auto_argnums=LAYOUT_ARGS,
+                            donate_argnums=(0, 1))
+                        self.dit_params = args[0]
+                        self.vae_params = args[1]
+                        # the old VAE buffers were donated away — the
+                        # cached decode/encode closures hold them
+                        self.__dict__.pop("_vae_jit_fns", None)
+                        condition, ref_arg, mask_arg = (
+                            args[7], args[11], args[12])
+                        fmts = compiled.input_formats[0]
+                        entry["data_fmts"] = tuple(fmts[j]
+                                                   for j in DATA_ARGS)
+                        relaid = True
+                        progs[sig] = compiled
+                    else:
+                        progs[sig] = jit_matching_layouts(
+                            raw, args, argnums=LAYOUT_ARGS)
+            lat, m0, m1, k_run = progs[sig](*args)
+            if on_chunk is not None:
+                on_chunk(i, len(xs[0]), seg_fuse, seg_irr, lat)
+        return lat
 
     def generate(
         self,
@@ -363,58 +454,11 @@ class WanI2VPipeline:
                 (batch, 1, num_frames, height, width), jnp.float32)
             ne_arg = negative_prompt_embeds if do_cfg else prompt_embeds
             if exec_chunk:
-                # chunked-execution fused serving: <=exec_chunk-step
-                # programs so no single device execution exceeds the
-                # runtime watchdog (~65-75 s here; COMPONENTS.md
-                # deviation 9). UniPC m0/m1 history rides the carry.
-                from worldforge_tpu.sampling.engine import wan_scan_chunks
-                sched_c = make_flow_unipc_schedule(num_inference_steps,
-                                                   flow_shift)
-                plan = wan_scan_chunks(sched_c, guidance, guided_on,
-                                       exec_chunk)
-                lat = latents
-                m0 = jnp.zeros_like(latents)
-                m1 = jnp.zeros_like(latents)
-                k_run = key
-                from worldforge_tpu.runtime.layouts import (
-                    auto_layouts_supported, compile_auto_layouts,
-                    jit_matching_layouts)
-                use_layouts = self.auto_layout and auto_layouts_supported()
-                # persistent (across-chunk) args get compiler-chosen
-                # layouts, relaid once; the flowing carry (lat/m0/m1)
-                # keeps default layouts so programs compose
-                LAYOUT_ARGS = (0, 1, 7, 11, 12)
-                progs = {}
-                relaid = False
-                for seg_fuse, seg_irr, xs in plan:
-                    sig = (seg_fuse, seg_irr, len(xs[0]))
-                    xs_dev = tuple(jnp.asarray(t) for t in xs)
-                    args = (self.dit_params, self.vae_params, lat, m0, m1,
-                            k_run, xs_dev, condition, prompt_embeds,
-                            ne_arg, image_embeds, ref_arg, mask_arg)
-                    if sig not in progs:
-                        if not use_layouts:
-                            progs[sig] = self._chunk_prog(
-                                guidance, do_cfg, guided_on,
-                                float(guidance_scale), seg_fuse, seg_irr)
-                        else:
-                            raw = self._chunk_fn_raw(
-                                guidance, do_cfg, guided_on,
-                                float(guidance_scale), seg_fuse, seg_irr)
-                            if not relaid:
-                                compiled, args = compile_auto_layouts(
-                                    raw, args, auto_argnums=LAYOUT_ARGS)
-                                self.dit_params = args[0]
-                                self.vae_params = args[1]
-                                condition, ref_arg, mask_arg = (
-                                    args[7], args[11], args[12])
-                                relaid = True
-                                progs[sig] = compiled
-                            else:
-                                progs[sig] = jit_matching_layouts(
-                                    raw, args, argnums=LAYOUT_ARGS)
-                    lat, m0, m1, k_run = progs[sig](*args)
-                latents = lat
+                latents = self.run_fused_chunked(
+                    guidance, num_inference_steps, flow_shift, do_cfg,
+                    guided_on, float(guidance_scale), exec_chunk, latents,
+                    condition, prompt_embeds, ne_arg, image_embeds,
+                    ref_arg, mask_arg, key)
             else:
                 latents = self._run_fused_one_program(
                     guidance, num_inference_steps, flow_shift, do_cfg,

@@ -51,8 +51,27 @@ def jit_matching_layouts(fn, args: Tuple, argnums: Sequence[int] = (0,)):
     return jax.jit(fn, in_shardings=tuple(in_sh))
 
 
+def relayout_arg(arg, fmt_tree, donate_old: bool = True):
+    """Relayout one arg pytree to ``fmt_tree`` (formats as returned by
+    ``compiled.input_formats``). With ``donate_old`` each original leaf
+    buffer is deleted as soon as its relayouted copy is ready, bounding
+    transient HBM overhead to one leaf — only safe when the caller will
+    never touch the original again."""
+    leaves, tree = jax.tree.flatten(arg)
+    fleaves = jax.tree.leaves(fmt_tree)
+    out = []
+    for leaf, fmt in zip(leaves, fleaves):
+        new = jax.device_put(leaf, fmt)
+        if donate_old and new is not leaf and isinstance(leaf, jax.Array):
+            new.block_until_ready()   # copy done before freeing source
+            leaf.delete()
+        out.append(new)
+    return jax.tree.unflatten(tree, out)
+
+
 def compile_auto_layouts(fn, args: Tuple, auto_argnums: Sequence[int] = (0,),
-                         donate_old: bool = True):
+                         donate_old: bool = True,
+                         donate_argnums: Sequence[int] = None):
     """Compile ``fn(*args)`` letting XLA choose the entry layouts of the
     selected positional args, then relayout those args to the chosen
     formats.
@@ -60,10 +79,15 @@ def compile_auto_layouts(fn, args: Tuple, auto_argnums: Sequence[int] = (0,),
     Returns ``(compiled, new_args)``; call ``compiled(*new_args)``. The
     non-selected args keep default layouts. With ``donate_old`` each
     original leaf buffer is deleted as soon as its relayouted copy is
-    ready, bounding transient HBM overhead to one leaf.
+    ready, bounding transient HBM overhead to one leaf; ``donate_argnums``
+    restricts donation to a subset of auto_argnums (use for weight trees
+    relaid once-for-the-process while per-clip DATA args keep their
+    caller-visible originals alive).
 
     The compiled object is shape/dtype-specialized to ``args`` (standard
-    AOT semantics) — cache it per shape set if called repeatedly.
+    AOT semantics) — cache it per shape set if called repeatedly; its
+    ``input_formats[0]`` gives the per-arg format trees for relaying
+    FRESH data args on later calls (relayout_arg).
     """
     if not _HAVE_LAYOUTS:
         return jax.jit(fn), args
@@ -72,16 +96,10 @@ def compile_auto_layouts(fn, args: Tuple, auto_argnums: Sequence[int] = (0,),
     compiled = jax.jit(fn, in_shardings=in_sh).lower(*args).compile()
     fmts = compiled.input_formats[0]
 
+    donate_set = set(auto_argnums if donate_argnums is None
+                     else donate_argnums)
     new_args = list(args)
     for i in auto_argnums:
-        leaves, tree = jax.tree.flatten(args[i])
-        fleaves = jax.tree.leaves(fmts[i])
-        out = []
-        for leaf, fmt in zip(leaves, fleaves):
-            new = jax.device_put(leaf, fmt)
-            if donate_old and new is not leaf and isinstance(leaf, jax.Array):
-                new.block_until_ready()   # copy done before freeing source
-                leaf.delete()
-            out.append(new)
-        new_args[i] = jax.tree.unflatten(tree, out)
+        new_args[i] = relayout_arg(args[i], fmts[i],
+                                   donate_old=donate_old and i in donate_set)
     return compiled, tuple(new_args)

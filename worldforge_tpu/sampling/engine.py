@@ -240,20 +240,38 @@ def _wan_tables(sched: FlowUniPCSchedule, guidance: GuidanceConfig,
     return segments, tables, g_steps, r_round
 
 
+def _seg_chunk_steps(exec_chunk: int, guidance: GuidanceConfig,
+                     seg_fuse: bool, seg_irr: bool,
+                     fuse_cost: float = 0.5) -> int:
+    """Cost-weighted steps-per-chunk for one segment. exec_chunk is
+    calibrated by the caller in PLAIN-step equivalents (one model call
+    per step): a guided/IRR step costs rs model calls plus rs VAE fuse
+    round-trips (a fuse ≈ half a model call at production scale — 5.0 s
+    vs 10.45 s measured, docs/PERF.md round 3), so a uniform steps-per-
+    chunk split would blow the ~65-75 s single-execution watchdog
+    (docs/COMPONENTS.md deviation 9) inside guided segments."""
+    rs = guidance.resample_steps if seg_irr else 1
+    weight = rs * (1.0 + (fuse_cost if seg_fuse else 0.0))
+    return max(1, int(exec_chunk / weight))
+
+
 def wan_scan_chunks(sched: FlowUniPCSchedule, guidance: GuidanceConfig,
                     fuse_on: bool, exec_chunk: int):
     """Chunked-execution plan for the Wan denoise loop — the longcat
     analog's twin (see longcat_scan_chunks): same segment structure as
-    wan_denoise_scan, sub-split so no chunk scans more than exec_chunk
-    steps. Returns [(seg_fuse, seg_irr, xs_numpy_tuple), ...]."""
+    wan_denoise_scan, sub-split so no chunk's estimated execution time
+    exceeds exec_chunk plain steps (guided segments get proportionally
+    fewer steps per chunk — _seg_chunk_steps). Returns
+    [(seg_fuse, seg_irr, xs_numpy_tuple), ...]."""
     segments, tables, g_steps, r_round = _wan_tables(sched, guidance,
                                                      fuse_on)
     plan = []
     for a, b in segments:
         seg_fuse = fuse_on and a < g_steps
         seg_irr = a < r_round
-        for c in range(a, b, exec_chunk):
-            d = min(c + exec_chunk, b)
+        k = _seg_chunk_steps(exec_chunk, guidance, seg_fuse, seg_irr)
+        for c in range(a, b, k):
+            d = min(c + k, b)
             plan.append((seg_fuse, seg_irr,
                          tuple(t[c:d] for t in tables)))
     return plan
@@ -383,7 +401,9 @@ def longcat_scan_chunks(sched, guidance: GuidanceConfig, fuse_on: bool,
     executions (the ~65-72 s watchdog pinned by
     scripts/probe_long_execution.py; docs/COMPONENTS.md deviation 9).
     Returns [(seg_fuse, seg_irr, xs_numpy_tuple), ...]; chunks with equal
-    (seg_fuse, seg_irr, length) share one compiled program.
+    (seg_fuse, seg_irr, length) share one compiled program. exec_chunk is
+    in plain-step equivalents; guided segments get proportionally fewer
+    steps per chunk (_seg_chunk_steps).
     """
     segments, tables, g_steps, r_round = _longcat_tables(sched, guidance,
                                                          fuse_on)
@@ -391,8 +411,9 @@ def longcat_scan_chunks(sched, guidance: GuidanceConfig, fuse_on: bool,
     for a, b in segments:
         seg_fuse = fuse_on and a < g_steps
         seg_irr = guidance.guided and a < r_round
-        for c in range(a, b, exec_chunk):
-            d = min(c + exec_chunk, b)
+        k = _seg_chunk_steps(exec_chunk, guidance, seg_fuse, seg_irr)
+        for c in range(a, b, k):
+            d = min(c + k, b)
             plan.append((seg_fuse, seg_irr,
                          tuple(t[c:d] for t in tables)))
     return plan
