@@ -7,7 +7,12 @@ Production config (reference defaults): one 93-frame continuation at
 480x832 conditioned on 13 clean frames — cond cache 4 latents (6,240
 tokens), 20 noise latents (31,200 tokens), 50-step schedule with
 enhance_hf (tail below t=500 replaced by a 10-step uniform ramp,
-:1157-1166). Capacity: all-int4 W4A8 DiT (~6.8 GB) + bf16 streaming VAE.
+:1157-1166). Capacity: all-int4 W4A8 DiT (~6.8 GB) + bf16 streaming VAE
++ **bf16 KV cache** — the fp32 cond cache alone is 9.1 GB
+(48L x 2 x 6,240 tokens x 4096 x 4B) and RESOURCE_EXHAUSTs next to the
+int4 DiT (measured round 4); bf16 halves it to 4.6 GB, drift gated in
+tests/test_longcat_vc.py::test_vc_bf16_cache_drift (--fp32-cache restores
+the reference-exact dtype on bigger-HBM parts).
 Random-init weights (wall-clock measurement; vc numerics are exact-match
 gated vs the joint forward in tests/test_longcat_vc.py).
 
@@ -40,6 +45,9 @@ def main():
     ap.add_argument("--cond-frames", type=int, default=13)
     ap.add_argument("--no-enhance-hf", action="store_true")
     ap.add_argument("--clips", type=int, default=1)
+    ap.add_argument("--fp32-cache", action="store_true",
+                    help="reference-exact fp32 KV cache (9.1 GB — needs "
+                         ">16 GB HBM next to the int4 DiT; default bf16)")
     args = ap.parse_args()
 
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
@@ -65,7 +73,9 @@ def main():
           flush=True)
 
     pipe = LongCatPipeline(dit_params, cfg, vae_params, vae_cfg,
-                           streaming_vae=True, auto_layout=True)
+                           streaming_vae=True, auto_layout=True,
+                           vc_cache_dtype=("float32" if args.fp32_cache
+                                           else "bfloat16"))
 
     h, w = 480, 832
     cond_video = jax.random.uniform(

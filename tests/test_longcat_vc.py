@@ -70,6 +70,34 @@ def test_generate_vc(lc, rng):
     assert np.isfinite(out).all()
 
 
+def test_vc_bf16_cache_drift(lc, rng):
+    """bf16 cond-token KV cache (the 16 GB serving recipe: the production
+    fp32 cache alone is 9.1 GB and OOMs next to the int4 DiT — round-4
+    measurement) must track the fp32-cache continuation closely. Only the
+    fp32->bf16 rounding BEFORE RoPE differs; the attention consuming the
+    cache runs bf16 q/k/v either way under the default policy."""
+    cfg, params, vae_cfg, vae_params = lc
+    video = jnp.asarray(rng.uniform(-1, 1, (1, 3, 5, 16, 16)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((1, 6, cfg.caption_channels)),
+                     jnp.float32)
+    pm = jnp.ones((1, 6), jnp.int32)
+    kwargs = dict(height=16, width=16, num_frames=13, num_cond_frames=5,
+                  num_inference_steps=3, enhance_hf=False,
+                  output_type="latent")
+    outs = {}
+    for cdt in ("float32", "bfloat16"):
+        pipe = LongCatPipeline(dit_params=params, dit_cfg=cfg,
+                               vae_params=vae_params, vae_cfg=vae_cfg,
+                               vc_cache_dtype=cdt)
+        outs[cdt] = np.asarray(
+            pipe.generate_vc(jax.random.key(2), video, pe, pm, **kwargs))
+    ref = outs["float32"]
+    drift = np.abs(outs["bfloat16"] - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert drift < 2e-2, f"bf16-cache drift {drift:.4f}"
+    assert drift > 0.0  # the rounding is real — a vacuous gate would hide
+    # a cache_dtype that silently stopped being threaded
+
+
 def test_generate_vc_enhance_hf_schedule(lc, rng):
     cfg, params, vae_cfg, vae_params = lc
     pipe = LongCatPipeline(dit_params=params, dit_cfg=cfg,

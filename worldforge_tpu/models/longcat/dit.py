@@ -482,13 +482,23 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
 
 
 def longcat_dit_cache_cond(params, cfg: LongCatDiTConfig, cond_latents,
-                           policy: Policy = DEFAULT_POLICY):
+                           policy: Policy = DEFAULT_POLICY,
+                           cache_dtype=jnp.float32):
     """Run the DiT over CLEAN conditioning latents only (timestep 0, cross-
     attn skipped) and return per-layer (k, v) caches of the cond tokens —
     pre-RoPE, post-QK-norm, matching Attention.forward(return_kv=True)
     (attention.py:120-122; pipeline _cache_clean_latents :336-348).
 
-    Returns (kv_cache [L, 2, B, Sc, H, D]) stacked for scan."""
+    Returns (kv_cache [L, 2, B, Sc, H, D]) stacked for scan.
+
+    cache_dtype: fp32 matches the reference bit-for-bit (the joint-forward
+    exact-match gate in tests/test_longcat_vc.py); bf16 HALVES the cache —
+    on a 16 GB chip the production vc config's fp32 cache alone is 9.1 GB
+    (48L x 2 x 6240 tokens x 4096 x 4B) and cannot coexist with the int4
+    DiT (measured RESOURCE_EXHAUSTED, round 4), while the bf16 cache
+    (4.6 GB) fits; drift is gated in tests/test_longcat_vc.py (the
+    attention consuming the cache runs bf16 q/k/v anyway — only the
+    fp32->bf16 rounding BEFORE RoPE differs)."""
     from worldforge_tpu.models.wan.dit import patchify
 
     b, _, T, H, W = cond_latents.shape
@@ -522,7 +532,7 @@ def longcat_dit_cache_cond(params, cfg: LongCatDiTConfig, cond_latents,
         q = _rms_hd(layer["q_norm"], _heads_hd(q, h), cfg.eps)
         k = _rms_hd(layer["k_norm"], _heads_hd(k, h), cfg.eps)
         v_h = _heads_hd(v, h)
-        kv = jnp.stack([k.astype(jnp.float32), v_h.astype(jnp.float32)])
+        kv = jnp.stack([k.astype(cache_dtype), v_h.astype(cache_dtype)])
         # continue the forward so later layers cache the right activations
         qr, kr = apply_rope_qk(q, k, cos, sin, out_dtype=cdt)
         o = attention(qr, kr, v_h.astype(cdt))

@@ -60,6 +60,12 @@ class LongCatPipeline:
     # path (runtime/layouts.py — see WanI2VPipeline.auto_layout): removes
     # XLA's u8 layout copies of quantized stacks. Mutates self.dit_params.
     auto_layout: bool = False
+    # generate_vc cond-token KV cache dtype: fp32 matches the reference
+    # exactly (the CPU exact-match gate); "bfloat16" HALVES the cache —
+    # the production vc config's fp32 cache alone is 9.1 GB and OOMs next
+    # to the int4 DiT on 16 GB (measured round 4), bf16 (4.6 GB) fits.
+    # Drift gated in tests/test_longcat_vc.py::test_vc_bf16_cache_drift.
+    vc_cache_dtype: str = "float32"
 
     def _vae_fns(self):
         from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
@@ -124,8 +130,9 @@ class LongCatPipeline:
 
         @jax.jit
         def cache_cond(params, cond_lat):
-            return longcat_dit_cache_cond(params, cfg, cond_lat,
-                                          policy=self.policy)
+            return longcat_dit_cache_cond(
+                params, cfg, cond_lat, policy=self.policy,
+                cache_dtype=jnp.dtype(self.vc_cache_dtype))
 
         @functools.partial(jax.jit, static_argnums=(5,))
         def step(params, latents, t_per_frame, ctx, kv_cache, cond_grid,
