@@ -144,7 +144,9 @@ def _np_dense(p, x):
     return y
 
 
-def _np_layer_norm(p, x, eps=1e-6):
+def _np_layer_norm(p, x, eps=1e-5):
+    # torch nn.LayerNorm default eps (diffusers transformer blocks use it
+    # unchanged) — NOT this repo's 1e-6 house default
     mean = x.mean(axis=-1, keepdims=True)
     var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
     y = (x - mean) / np.sqrt(var + eps)

@@ -251,10 +251,14 @@ def _basic_block_init(key, dim, ctx_dim, dtype):
 
 
 def _basic_block(p, x, ctx, heads):
-    x = x + _attn(p["attn1"], P.layer_norm(p["norm1"], x),
-                  P.layer_norm(p["norm1"], x), heads)
-    x = x + _attn(p["attn2"], P.layer_norm(p["norm2"], x), ctx, heads)
-    return x + _geglu(p["ff"], P.layer_norm(p["norm3"], x))
+    """BasicTransformerBlock — LayerNorm eps is torch's nn.LayerNorm
+    default 1e-5 (diffusers attention.py BasicTransformerBlock norm_eps),
+    NOT this repo's 1e-6 house default."""
+    h = P.layer_norm(p["norm1"], x, eps=1e-5)
+    x = x + _attn(p["attn1"], h, h, heads)
+    x = x + _attn(p["attn2"], P.layer_norm(p["norm2"], x, eps=1e-5), ctx,
+                  heads)
+    return x + _geglu(p["ff"], P.layer_norm(p["norm3"], x, eps=1e-5))
 
 
 def _temporal_block_init(key, dim, ctx_dim, dtype):
@@ -272,12 +276,15 @@ def _temporal_block_init(key, dim, ctx_dim, dtype):
 
 
 def _temporal_block(p, x, time_ctx, heads):
-    """TemporalBasicTransformerBlock: x [B*HW, F, C]."""
-    x = x + _geglu(p["ff_in"], P.layer_norm(p["norm_in"], x))
-    h = P.layer_norm(p["norm1"], x)
+    """TemporalBasicTransformerBlock: x [B*HW, F, C]. LayerNorm eps 1e-5
+    (torch nn.LayerNorm default — diffusers uses plain nn.LayerNorm(dim)
+    here)."""
+    x = x + _geglu(p["ff_in"], P.layer_norm(p["norm_in"], x, eps=1e-5))
+    h = P.layer_norm(p["norm1"], x, eps=1e-5)
     x = x + _attn(p["attn1"], h, h, heads)
-    x = x + _attn(p["attn2"], P.layer_norm(p["norm2"], x), time_ctx, heads)
-    return x + _geglu(p["ff"], P.layer_norm(p["norm3"], x))
+    x = x + _attn(p["attn2"], P.layer_norm(p["norm2"], x, eps=1e-5),
+                  time_ctx, heads)
+    return x + _geglu(p["ff"], P.layer_norm(p["norm3"], x, eps=1e-5))
 
 
 def _st_transformer_init(key, c, heads, ctx_dim, layers, dtype):
