@@ -103,3 +103,46 @@ def test_longcat_unguided_default_is_single_pass():
     longcat_denoise_loop(model_fn, x0, sched, g,
                          key=jax.random.key(2), fuse_fn=None)
     assert calls == [(i, 0) for i in range(6)], calls
+
+
+def test_chunk_plan_cost_weighting():
+    """wan_scan_chunks: exec_chunk is in PLAIN-step equivalents — guided
+    segments (rs model calls + rs fuses/step ~= 3x a plain step) and
+    IRR-only segments (2x) get proportionally fewer steps per chunk, so
+    one setting keeps every execution under the runtime watchdog
+    (docs/COMPONENTS.md deviation 9). Production flagship shape: 50 steps,
+    guide 15, resample_round 20, rs=2, exec_chunk 4."""
+    from worldforge_tpu.sampling.engine import wan_scan_chunks
+
+    sched = make_flow_unipc_schedule(50, 5.0)
+    g = GuidanceConfig(guided=True, guide_steps=15, resample_steps=2,
+                       resample_round=20)
+    plan = wan_scan_chunks(sched, g, fuse_on=True, exec_chunk=4)
+    sizes = [(sf, si, len(xs[0])) for sf, si, xs in plan]
+    # guided segment (0,15): weight 3 -> chunks of 1
+    assert sizes[:15] == [(True, True, 1)] * 15
+    # IRR-only segment (15,20): weight 2 -> chunks of 2
+    assert sizes[15:18] == [(False, True, 2), (False, True, 2),
+                            (False, True, 1)]
+    # plain segment (20,50): chunks of 4
+    assert sizes[18:] == [(False, False, 4)] * 7 + [(False, False, 2)]
+    # every step appears exactly once, in order
+    steps = np.concatenate([xs[-1] for _, _, xs in plan])
+    np.testing.assert_array_equal(steps, np.arange(50, dtype=np.float32))
+
+
+def test_longcat_chunk_plan_cost_weighting():
+    """longcat_scan_chunks under the production distilled guided config
+    (16 steps, guide 15, rs=2, exec_chunk 6): guided chunks of 2, plain
+    tail of 1."""
+    from worldforge_tpu.sampling.engine import longcat_scan_chunks
+    from worldforge_tpu.sampling.flow_match import make_flow_match_schedule
+
+    sched = make_flow_match_schedule(16, shift=1.0, use_distill=True)
+    g = GuidanceConfig(guided=True, guide_steps=15, resample_steps=2,
+                       resample_round=20, flf_backend="longcat")
+    plan = longcat_scan_chunks(sched, g, fuse_on=True, exec_chunk=6)
+    sizes = [(sf, len(xs[0])) for sf, _, xs in plan]
+    assert sizes == [(True, 2)] * 7 + [(True, 1), (False, 1)]
+    steps = np.concatenate([xs[-1] for _, _, xs in plan])
+    np.testing.assert_array_equal(steps, np.arange(16, dtype=np.float32))
