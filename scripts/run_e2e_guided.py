@@ -25,12 +25,15 @@ Two execution modes:
     VAE decode / VAE encode / FLF each its own jit program. Every program
     fits 16 GB individually; host dispatch (~25 ms/call) is noise against
     10 s DiT steps. Gives the per-phase breakdown for free.
-  --mode fused: the ONE-PROGRAM lax.scan engine (wan_denoise_scan). On
-    this 16 GB chip the whole-loop program misses HBM by ~36 MB at compile
-    (measured twice: 170 MB fp32-VAE, 36 MB bf16-VAE — the fuse's
-    full-res conv temps and the DiT must coexist in one allocation plan);
-    it IS the shipping mode on >=24 GB parts and is dryrun/smoke-proven
-    (tests/test_engine_scan.py, parallel/dryrun.py).
+  --mode fused: the ONE-PROGRAM lax.scan engine (wan_denoise_scan).
+    Round 4: with data-arg auto layouts it now COMPILES on this 16 GB
+    chip (args 9.85 / temps 6.30 GiB — round 3 missed by ~36 MB), but a
+    ~900 s single execution trips the ~65-75 s runtime watchdog
+    (COMPONENTS.md deviation 9). Add --exec-chunk 4 for CHUNKED-EXECUTION
+    fused serving — the same scan body in cost-weighted sub-watchdog
+    executions; measured steady-state denoise 807 s vs 887 s loop mode
+    (docs/PERF.md round-4). Unchunked fused is the mode on watchdog-free
+    runtimes.
 
 Random-init weights (none exist in this env) and random prompt/CLIP
 embeddings — the measurement is wall-clock sec/clip for the whole guided
