@@ -46,7 +46,6 @@ Run from /root/repo with no JAX_PLATFORMS overrides:
 
 import argparse
 import os
-import re
 import sys
 import time
 
@@ -106,13 +105,23 @@ def main():
                          "post-cleanup in-process decode OOMs (a failed "
                          "720p execution can leave the allocator "
                          "unrecoverable in-process)")
-    ap.add_argument("--exec-chunk", type=int, default=0,
+    ap.add_argument("--exec-chunk", default="0",
                     help="fused mode: dispatch the SAME scan body in "
                          "cost-weighted <=k-plain-step executions so no "
                          "single device execution exceeds the ~65-75 s "
-                         "watchdog (probe_long_execution.py). k=4 at 480p "
-                         "(plain chunk 4 x 10.5 s = 42 s; guided chunk 1 "
-                         "= 2 CFG fwd + 2 fuses = 31 s). 0 = one program")
+                         "watchdog (probe_long_execution.py). 'auto' "
+                         "derives k + the fuse-cost ratio from the "
+                         "measured cost tables "
+                         "(sampling/engine.py::auto_exec_chunk — 4 at "
+                         "480p, matching the round-4 tuning). 0 = one "
+                         "program")
+    ap.add_argument("--donate-data", action="store_true",
+                    help="chunked fused: hand ownership of the per-clip "
+                         "data args to the pipeline so the pre-relayout "
+                         "originals are freed during compile (~150-300 MB "
+                         "— the int6-chunked capacity lever; incompatible "
+                         "with reusing the arrays for a repeat clip, so "
+                         "the steady-state rep re-uploads them)")
     ap.add_argument("--quant", choices=("int4", "int6-ffn"), default="int4",
                     help="DiT capacity recipe: 'int4' = all-int4 W4A8 "
                          "(~8.1 GB, guided drift ~2%%); 'int6-ffn' = int6 "
@@ -122,6 +131,31 @@ def main():
     args = ap.parse_args()
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+
+    # resolve --exec-chunk (possibly 'auto') to (k, fuse_cost ratio)
+    args.fuse_cost = 0.5
+    if args.exec_chunk == "auto":
+        from worldforge_tpu.sampling.engine import auto_exec_chunk
+        from worldforge_tpu.sampling.guidance import GuidanceConfig as _GC
+        t_lat = (args.frames - 1) // 4 + 1
+        tokens = t_lat * (args.height // 16) * (args.width // 16)
+        plan = auto_exec_chunk(
+            "wan", tokens,
+            fuse_pixels=0 if args.unguided else args.height * args.width,
+            guidance=_GC())
+        args.exec_chunk = plan.exec_chunk
+        args.fuse_cost = plan.fuse_cost
+        print(f"[auto-chunk] tokens {tokens}: exec_chunk "
+              f"{plan.exec_chunk}, est plain {plan.plain_step_s:.1f} s / "
+              f"fuse {plan.fuse_s:.1f} s, worst chunk "
+              f"{plan.max_chunk_s:.0f} s, fits_watchdog "
+              f"{plan.fits_watchdog}", flush=True)
+        if not plan.fits_watchdog:
+            print("[auto-chunk] WARNING: even single-step guided chunks "
+                  "exceed the watchdog at this config — use --mode loop",
+                  flush=True)
+    else:
+        args.exec_chunk = int(args.exec_chunk)
 
     from worldforge_tpu.core.dtypes import DEFAULT_POLICY
     from worldforge_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit_w4,
@@ -396,29 +430,15 @@ def main():
             # Decode in a FRESH process (VAE alone on the chip — the
             # decode-only probe measures 23.9 s steady-state at 720p).
             print(f"[6] in-process decode retry also failed "
-                  f"({type(e2).__name__}); decoding in a fresh process",
-                  flush=True)
-            import subprocess
-            import tempfile
+                  f"({type(e2).__name__}); decoding in a fresh process "
+                  f"(runtime/subproc.py)", flush=True)
+            from worldforge_tpu.runtime.subproc import decode_in_subprocess
             video = dec = enc = None  # free before the child starts
             gc.collect()
-            lat_path = os.path.join(tempfile.gettempdir(), "wf_decode.npy")
-            np.save(lat_path, lat_host)
-            t0 = time.perf_counter()
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--decode-from", lat_path, "--height", str(h),
-                 "--width", str(w), "--frames", str(nf)],
-                capture_output=True, text=True, timeout=3600)
-            print(r.stdout, end="", flush=True)
-            if r.returncode != 0:
-                print(r.stderr[-2000:], flush=True)
-                raise
-            # the child prints "[decode-from] ...: X s (incl. compile)";
-            # use its measured decode time (includes its compile), not the
-            # child's whole wall (VAE init + process startup)
-            m = re.search(r"\[decode-from\].*?: ([0-9.]+) s", r.stdout)
-            t_decode = float(m.group(1)) if m else time.perf_counter() - t0
+            _, times = decode_in_subprocess(
+                lat_host, pipe.vae_cfg, params_seed=1,
+                dtype="float32" if args.fp32_vae else "bfloat16", reps=2)
+            t_decode = times[-1]  # steady-state rep
 
     for k, v in phase.items():
         if v:
@@ -457,14 +477,27 @@ def run_fused(args, pipe, g, n_guided, dit_params, vae_params, latents,
             print(f"    chunk {i}: {n_steps} {tag} step(s) in {dt:.1f} s",
                   flush=True)
 
+        donate = getattr(args, "donate_data", False)
+        if donate and not args.no_repeat:
+            # donated originals are deleted during clip 1's compile; keep
+            # host copies to re-upload for the steady-state rep
+            host_cond = np.asarray(condition)
+            host_ref = np.asarray(video_ref)
+            host_mask = np.asarray(mask)
         for rep in range(1 if args.no_repeat else 2):
+            if rep > 0 and donate:
+                condition = jnp.asarray(host_cond)
+                video_ref = jnp.asarray(host_ref)
+                mask = jnp.asarray(host_mask)
             chunk_times.clear()
             t0 = time.perf_counter()
             on_chunk.t0 = t0
             out_lat = pipe.run_fused_chunked(
                 g, args.steps, 5.0, True, guided_on, 4.0, args.exec_chunk,
                 latents, condition, pe, ne, ie, video_ref, mask,
-                jax.random.key(10), on_chunk=on_chunk)
+                jax.random.key(10), on_chunk=on_chunk,
+                donate_data=donate and rep == 0,
+                fuse_cost=getattr(args, "fuse_cost", 0.5))
             _sync(out_lat)
             t_run = time.perf_counter() - t0
             tag = "incl. compiles" if rep == 0 else "steady-state"

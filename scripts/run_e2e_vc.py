@@ -119,12 +119,20 @@ def main():
               f" — cond-cache build {sum(phase['cache']):.1f} s, "
               f"{len(phase['step'])} steps median {med:.2f} s", flush=True)
 
-    t0 = time.perf_counter()
-    video = pipe._vae_decode_fn()(lat)
-    out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
-    t_decode = time.perf_counter() - t0
-    print(f"[4] final streaming decode {out.shape}: {t_decode:.1f} s",
-          flush=True)
+    # two decode reps: rep 1 = incl. compile, rep 2 = steady-state (the
+    # round-4 number mixed compile into the only measured decode — VERDICT
+    # r4 item 4 asks for the split; steady is the serving figure)
+    t_decode = float("nan")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        video = pipe._vae_decode_fn()(lat)
+        out = np.clip((np.asarray(video, np.float32) + 1.0) / 2.0, 0, 1)
+        t_decode = time.perf_counter() - t0
+        print(f"[4] final streaming decode {out.shape} rep {rep + 1}: "
+              f"{t_decode:.1f} s "
+              + ("(incl. compile)" if rep == 0 else "(steady-state)"),
+              flush=True)
+        del video
 
     t_clip = t_denoise + t_decode
     tag = "steady-state" if args.clips > 1 else "incl. compile"

@@ -47,7 +47,10 @@ def run_dryrun(n_devices: int) -> None:
     print(f"dryrun mesh: dp={dp} fsdp={fsdp} sp={sp}")
 
     out = _dryrun_wan_guided_fused(mesh, dp)
+    _dryrun_wan_chunked(mesh, dp)
     _dryrun_longcat_refine_bsa(mesh, dp)
+    _dryrun_longcat_vc(mesh)
+    _dryrun_avatar(mesh)
     _dryrun_wan_cp2d(n_devices)
     if n_devices % 8 == 0:
         # the greedy factoring above never yields dp>1 at 8 devices;
@@ -115,6 +118,150 @@ def _dryrun_wan_guided_fused(mesh, dp: int):
     assert np.isfinite(arr).all(), "wan fused dryrun non-finite"
     print(f"  wan guided fused (wan_denoise_scan) phase: ok, out {arr.shape}")
     return arr
+
+
+def _dryrun_wan_chunked(mesh, dp: int) -> None:
+    """Chunked-execution phase (VERDICT r4 item 6): the SHIPPING 16 GB
+    serving mode — wan_scan_chunks dispatching the fused scan body in
+    multiple device executions with the UniPC m0/m1 multistep history
+    crossing executions via the carry — over the same (dp, fsdp, sp)
+    mesh. exec_chunk=2 with guide_steps=2/resample_round=2 yields 2
+    guided + 1 plain execution, so the carry genuinely crosses chunk
+    boundaries AND program kinds."""
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+    from worldforge_tpu.pipelines.wan_i2v import WanI2VPipeline
+    from worldforge_tpu.sampling.guidance import GuidanceConfig
+
+    cfg, params, vae_cfg, vae_params = _tiny_wan()
+    pipe = WanI2VPipeline(
+        dit_params=shard_params_fsdp(params, mesh), dit_cfg=cfg,
+        vae_params=shard_params_fsdp(vae_params, mesh), vae_cfg=vae_cfg,
+        mesh=mesh)
+
+    b = dp
+    hpx, wpx, nframes = 64, 64, 9
+    shard = lambda a: jax.device_put(a, NamedSharding(mesh, P("dp")))
+    image = shard(jax.random.uniform(jax.random.key(30), (b, 3, hpx, wpx),
+                                     jnp.float32) * 2.0 - 1.0)
+    pe = shard(jax.random.normal(jax.random.key(31),
+                                 (b, cfg.text_len, cfg.text_dim)))
+    ne = shard(jax.random.normal(jax.random.key(32),
+                                 (b, cfg.text_len, cfg.text_dim)))
+    ie = shard(jax.random.normal(jax.random.key(33), (b, 257, cfg.clip_dim)))
+    ref = shard(jax.random.uniform(jax.random.key(34),
+                                   (b, 3, nframes, hpx, wpx)))
+    mask = jnp.ones((b, 1, nframes, hpx, wpx), jnp.float32)
+    g = GuidanceConfig(guided=True, guide_steps=2, resample_steps=2,
+                       resample_round=2, use_flf=True)
+    chunks = []
+    orig = pipe.run_fused_chunked
+
+    def counting(*a, **k):
+        k["on_chunk"] = lambda i, n, sf, si, lat: chunks.append((n, sf, si))
+        return orig(*a, **k)
+
+    pipe.run_fused_chunked = counting
+    out = pipe.generate(
+        jax.random.key(35), image, pe, ne, ie, height=hpx, width=wpx,
+        num_frames=nframes, num_inference_steps=4, guidance_scale=4.0,
+        video_ref=ref, mask=mask, guidance=g, output_type="latent",
+        fused=True, exec_chunk=2)
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all(), "wan chunked dryrun non-finite"
+    assert len(chunks) >= 2, f"expected multi-execution plan, got {chunks}"
+    print(f"  wan chunked-execution fused (wan_scan_chunks, "
+          f"{len(chunks)} executions, carry crosses) phase: ok, "
+          f"out {arr.shape}")
+
+
+def _dryrun_longcat_vc(mesh) -> None:
+    """vc KV-cache phase (VERDICT r4 item 6): LongCat long-video
+    continuation — cond-latent KV-cache build + cached-attention denoise
+    loop (longcat_dit_cache_cond / longcat_dit_forward_with_cache;
+    reference attention.py:149-181, pipeline_longcat_video.py:1010-1271)
+    — with FSDP-sharded params under GSPMD (the multi-chip vc serving
+    layout: per-layer weight all-gathers; the KV cache itself stays
+    replicated at this scale)."""
+    from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
+                                                   init_longcat_dit)
+    from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+    from worldforge_tpu.pipelines.longcat import LongCatPipeline
+
+    import dataclasses as _dc
+
+    vae_cfg = WanVAEConfig.tiny()
+    cfg = _dc.replace(LongCatDiTConfig.tiny(),
+                      in_channels=vae_cfg.z_dim, out_channels=vae_cfg.z_dim)
+    pipe = LongCatPipeline(
+        dit_params=shard_params_fsdp(
+            init_longcat_dit(jax.random.key(40), cfg), mesh),
+        dit_cfg=cfg,
+        vae_params=shard_params_fsdp(
+            init_wan_vae(jax.random.key(41), vae_cfg), mesh),
+        vae_cfg=vae_cfg, vc_cache_dtype="bfloat16")  # the 16 GB recipe
+
+    video = jax.random.uniform(jax.random.key(42), (1, 3, 5, 16, 16),
+                               jnp.float32) * 2.0 - 1.0
+    pe = jax.random.normal(jax.random.key(43),
+                           (1, 6, cfg.caption_channels), jnp.float32)
+    pm = jnp.ones((1, 6), jnp.int32)
+    with mesh:
+        out = pipe.generate_vc(jax.random.key(44), video, pe, pm,
+                               height=16, width=16, num_frames=13,
+                               num_cond_frames=5, num_inference_steps=3,
+                               enhance_hf=False, output_type="latent")
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all(), "vc dryrun non-finite"
+    print(f"  longcat vc (KV-cache continuation, bf16 cache, FSDP) "
+          f"phase: ok, out {arr.shape}")
+
+
+def _dryrun_avatar(mesh) -> None:
+    """Avatar phase (VERDICT r4 item 6): audio-driven i2v — LongCat base
+    + per-layer audio cross-attention (longcat_video/modules/
+    longcat_video_audio_dit.py) through the product AvatarPipeline with
+    FSDP-sharded params under GSPMD."""
+    from worldforge_tpu.models.longcat.avatar import (AvatarConfig,
+                                                      init_avatar_dit)
+    from worldforge_tpu.models.longcat.dit import LongCatDiTConfig
+    from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+    from worldforge_tpu.pipelines.avatar import AvatarPipeline
+
+    vae_cfg = WanVAEConfig.tiny()
+    base = LongCatDiTConfig(in_channels=vae_cfg.z_dim,
+                            out_channels=vae_cfg.z_dim, hidden_size=64,
+                            depth=2, num_heads=2, caption_channels=32,
+                            adaln_tembed_dim=32,
+                            frequency_embedding_size=16)
+    cfg = AvatarConfig(base=base, audio_blocks=2, audio_channels=8,
+                       intermediate_dim=16, output_dim=8, context_tokens=4)
+    pipe = AvatarPipeline(
+        dit_params=shard_params_fsdp(
+            init_avatar_dit(jax.random.key(50), cfg), mesh),
+        dit_cfg=cfg,
+        vae_params=shard_params_fsdp(
+            init_wan_vae(jax.random.key(51), vae_cfg), mesh),
+        vae_cfg=vae_cfg)
+
+    num_frames, hpx, wpx = 9, 16, 16
+    image = jax.random.uniform(jax.random.key(52), (1, 3, hpx, wpx),
+                               jnp.float32) * 2.0 - 1.0
+    audio = jax.random.normal(
+        jax.random.key(53),
+        (1, num_frames, cfg.audio_window, cfg.audio_blocks,
+         cfg.audio_channels), jnp.float32)
+    pe = jax.random.normal(jax.random.key(54), (1, 6, 32), jnp.float32)
+    ne = jax.random.normal(jax.random.key(55), (1, 6, 32), jnp.float32)
+    with mesh:
+        out = pipe.generate_i2v_audio(
+            jax.random.key(56), image, audio, pe, None, ne, None,
+            height=hpx, width=wpx, num_frames=num_frames,
+            num_inference_steps=2, guidance_scale=3.0)
+    assert np.isfinite(out).all(), "avatar dryrun non-finite"
+    print(f"  avatar (audio cross-attn i2v, FSDP) phase: ok, "
+          f"out {out.shape}")
 
 
 def _dryrun_longcat_refine_bsa(mesh, dp: int) -> None:

@@ -278,8 +278,13 @@ class WanI2VPipeline:
             # round-4 720p post-mortem shows a 119 MB copy of
             # video_ref alone) — on a 16 GB chip those copies are the
             # difference between the fused program fitting and not
+            # donate only the self-owned weight trees (0, 1): donating the
+            # caller-supplied data args (latents/condition/ref/mask) would
+            # delete the caller's buffers whenever XLA picks a non-default
+            # layout, breaking repeat-clip serving that reuses them
             compiled, run_args = compile_auto_layouts(
-                runner, run_args, auto_argnums=(0, 1, 2, 3, 7, 8))
+                runner, run_args, auto_argnums=(0, 1, 2, 3, 7, 8),
+                donate_argnums=(0, 1))
             self.dit_params = run_args[0]   # now in preferred layout
             self.vae_params = run_args[1]
             self.__dict__.pop("_vae_jit_fns", None)  # old buffers donated
@@ -289,7 +294,9 @@ class WanI2VPipeline:
     def run_fused_chunked(self, guidance, num_inference_steps, flow_shift,
                           do_cfg, guided_on, gscale, exec_chunk, latents,
                           condition, prompt_embeds, ne_arg, image_embeds,
-                          ref_arg, mask_arg, key, on_chunk=None):
+                          ref_arg, mask_arg, key, on_chunk=None,
+                          donate_data: bool = False,
+                          fuse_cost: float = 0.5):
         """Chunked-execution fused serving: the SAME scan body as the
         one-program fused runner, dispatched in cost-weighted <=exec_chunk-
         plain-step executions so no single device execution exceeds the
@@ -300,14 +307,24 @@ class WanI2VPipeline:
         chunk programs compose. on_chunk(i, n_steps, seg_fuse, seg_irr,
         lat) is called after each chunk is dispatched with the chunk's
         output latents (the e2e script syncs + times each execution
-        through it)."""
+        through it).
+
+        donate_data=True additionally deletes the PRE-relayout originals
+        of the per-clip data args (condition/ref/mask) once their relaid
+        copies land — the caller hands over ownership. On 16 GB this
+        frees ~150-300 MB during compile (the int6-chunked capacity
+        lever, VERDICT r4 item 2); leave False for repeat-clip serving
+        that reuses the caller's buffers. fuse_cost: fuse/plain step-cost
+        ratio for the chunk plan (auto_exec_chunk estimates it per
+        config; 0.5 = the measured 480p ratio)."""
         from worldforge_tpu.sampling.engine import wan_scan_chunks
         from worldforge_tpu.runtime.layouts import (
             auto_layouts_supported, compile_auto_layouts,
             jit_matching_layouts, relayout_arg)
 
         sched_c = make_flow_unipc_schedule(num_inference_steps, flow_shift)
-        plan = wan_scan_chunks(sched_c, guidance, guided_on, exec_chunk)
+        plan = wan_scan_chunks(sched_c, guidance, guided_on, exec_chunk,
+                               fuse_cost=fuse_cost)
         lat = latents
         m0 = jnp.zeros_like(latents)
         m1 = jnp.zeros_like(latents)
@@ -323,7 +340,9 @@ class WanI2VPipeline:
         # reuse the layout-compiled executables — they are shape-
         # specialized, so the key includes the data shapes
         cache_key = (guidance, do_cfg, guided_on, gscale, exec_chunk,
-                     latents.shape, ref_arg.shape, mask_arg.shape)
+                     latents.shape, condition.shape, prompt_embeds.shape,
+                     ne_arg.shape, image_embeds.shape, ref_arg.shape,
+                     mask_arg.shape)
         if not hasattr(self, "_chunk_progs_cache"):
             self._chunk_progs_cache = {}
         entry = self._chunk_progs_cache.setdefault(
@@ -355,7 +374,8 @@ class WanI2VPipeline:
                     if not relaid:
                         compiled, args = compile_auto_layouts(
                             raw, args, auto_argnums=LAYOUT_ARGS,
-                            donate_argnums=(0, 1))
+                            donate_argnums=(LAYOUT_ARGS if donate_data
+                                            else (0, 1)))
                         self.dit_params = args[0]
                         self.vae_params = args[1]
                         # the old VAE buffers were donated away — the

@@ -59,6 +59,11 @@ def relayout_arg(arg, fmt_tree, donate_old: bool = True):
     never touch the original again."""
     leaves, tree = jax.tree.flatten(arg)
     fleaves = jax.tree.leaves(fmt_tree)
+    if len(leaves) != len(fleaves):
+        raise ValueError(
+            f"relayout_arg: arg has {len(leaves)} leaves but fmt_tree has "
+            f"{len(fleaves)} — structural mismatch (wrong format tree for "
+            "this arg?)")
     out = []
     for leaf, fmt in zip(leaves, fleaves):
         new = jax.device_put(leaf, fmt)

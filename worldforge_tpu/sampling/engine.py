@@ -240,6 +240,103 @@ def _wan_tables(sched: FlowUniPCSchedule, guidance: GuidanceConfig,
     return segments, tables, g_steps, r_round
 
 
+# ----------------------------------------------------- exec-chunk auto-sizing
+#
+# The environment kills any single device execution over ~65-72 s
+# (scripts/probe_long_execution.py, model-free repro; docs/COMPONENTS.md
+# deviation 9). Chunk plans were hand-tuned per config in round 4 (4 for
+# Wan-480p, 6 for LongCat-480p) — new configs could trip the watchdog by
+# mis-tuning (VERDICT r4 item 8). The sizing below derives the plan from
+# MEASURED per-config step costs (docs/PERF.md) with a safety factor,
+# power-law-interpolated in token count for unmeasured shapes.
+
+WATCHDOG_SECONDS = 65.0   # lower edge of the measured 65-72 s fault window
+
+# (tokens -> seconds per PLAIN scan step) measured on one v5e at serving
+# quant (docs/PERF.md): "wan" steps are CFG pairs (2 forwards), "longcat"
+# distilled steps are single forwards, "longcat-bsa" is the 0.875-sparse
+# refine step.
+STEP_COST_ANCHORS = {
+    "wan": ((20280, 10.5), (46800, 37.3)),       # 480p r3/r4; 720p r4
+    "longcat": ((20280, 6.4),),                  # 103 s / 16 distilled steps
+    "longcat-bsa": ((56320, 15.0),),             # 720p refine median step
+}
+
+# (pixels-per-frame -> seconds per VAE fuse round trip, 49-frame clips):
+# 480p dec 3.3 + enc 2.1 ≈ 5.1 s; 720p dec 23.9 steady + enc ≈ 6 s scaled.
+FUSE_COST_ANCHORS = ((399360, 5.1), (921600, 30.0))
+
+# exponent of the wan anchor pair: cost ∝ tokens^1.51 (attention makes the
+# scaling superlinear); reused for single-anchor families
+import math as _math
+_COST_EXPONENT = (_math.log(37.3 / 10.5) / _math.log(46800 / 20280))
+
+
+def _interp_cost(anchors, x: float) -> float:
+    """Power-law (log-log) interpolation through measured anchors;
+    single-anchor families extrapolate with the wan-pair exponent."""
+    if len(anchors) == 1:
+        x0, c0 = anchors[0]
+        return c0 * (x / x0) ** _COST_EXPONENT
+    pts = sorted(anchors)
+    # clamp to the nearest segment for extrapolation
+    for (x0, c0), (x1, c1) in zip(pts[:-1], pts[1:]):
+        if x <= x1 or (x0, c0) == pts[-2]:
+            exp = _math.log(c1 / c0) / _math.log(x1 / x0)
+            return c0 * (x / x0) ** exp
+    raise AssertionError  # pragma: no cover
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class ExecChunkPlan:
+    exec_chunk: int        # plain-step-equivalents per execution
+    fuse_cost: float       # fuse/plain cost ratio (feeds _seg_chunk_steps)
+    plain_step_s: float    # estimated seconds per plain step
+    fuse_s: float          # estimated seconds per fuse round trip
+    max_chunk_s: float     # estimated wall of the most expensive chunk
+    fits_watchdog: bool    # False -> even k=1 trips the limit: use the
+    #                        per-phase dispatch loop mode instead
+
+
+def auto_exec_chunk(model: str, tokens: int, *, fuse_pixels: int = 0,
+                    guidance: Optional[GuidanceConfig] = None,
+                    watchdog_s: float = WATCHDOG_SECONDS,
+                    safety: float = 0.8) -> ExecChunkPlan:
+    """Derive the chunked-execution plan size from the measured cost
+    tables. ``tokens`` = DiT sequence length; ``fuse_pixels`` = H*W of the
+    pixel-space fuse (0 = unguided / no in-loop VAE). The returned
+    exec_chunk keeps every estimated chunk execution under
+    safety * watchdog_s; ``fits_watchdog`` is False when even a single
+    guided step exceeds the watchdog (e.g. Wan 720p guided: one IRR step =
+    2 CFG forwards + 2 fuses ≈ 135 s) — those configs must serve through
+    the per-phase dispatch loop, whose individual programs stay small."""
+    plain = _interp_cost(STEP_COST_ANCHORS[model], float(tokens))
+    fuse = (_interp_cost(FUSE_COST_ANCHORS, float(fuse_pixels))
+            if fuse_pixels else 0.0)
+    budget = safety * watchdog_s
+    k = (max(1, int(budget / plain)) if _math.isfinite(budget)
+         else 10 ** 9)  # watchdog-free runtime: one big chunk
+    fuse_ratio = (fuse / plain) if fuse_pixels else 0.5
+
+    g = guidance or GuidanceConfig()
+    worst = k * plain    # plain segment
+    if fuse_pixels and g.guided:
+        for seg_fuse, seg_irr in ((True, True), (True, False),
+                                  (False, True)):
+            rs = g.resample_steps if seg_irr else 1
+            weight = rs * (1.0 + (fuse_ratio if seg_fuse else 0.0))
+            k_seg = max(1, int(k / weight))
+            per_step = rs * (plain + (fuse if seg_fuse else 0.0))
+            worst = max(worst, k_seg * per_step)
+    return ExecChunkPlan(exec_chunk=k, fuse_cost=fuse_ratio,
+                         plain_step_s=plain, fuse_s=fuse,
+                         max_chunk_s=worst,
+                         fits_watchdog=worst <= watchdog_s)
+
+
 def _seg_chunk_steps(exec_chunk: int, guidance: GuidanceConfig,
                      seg_fuse: bool, seg_irr: bool,
                      fuse_cost: float = 0.5) -> int:
@@ -256,7 +353,8 @@ def _seg_chunk_steps(exec_chunk: int, guidance: GuidanceConfig,
 
 
 def wan_scan_chunks(sched: FlowUniPCSchedule, guidance: GuidanceConfig,
-                    fuse_on: bool, exec_chunk: int):
+                    fuse_on: bool, exec_chunk: int,
+                    fuse_cost: float = 0.5):
     """Chunked-execution plan for the Wan denoise loop — the longcat
     analog's twin (see longcat_scan_chunks): same segment structure as
     wan_denoise_scan, sub-split so no chunk's estimated execution time
@@ -269,7 +367,8 @@ def wan_scan_chunks(sched: FlowUniPCSchedule, guidance: GuidanceConfig,
     for a, b in segments:
         seg_fuse = fuse_on and a < g_steps
         seg_irr = a < r_round
-        k = _seg_chunk_steps(exec_chunk, guidance, seg_fuse, seg_irr)
+        k = _seg_chunk_steps(exec_chunk, guidance, seg_fuse, seg_irr,
+                             fuse_cost=fuse_cost)
         for c in range(a, b, k):
             d = min(c + k, b)
             plan.append((seg_fuse, seg_irr,
@@ -394,7 +493,7 @@ def _longcat_tables(sched, guidance: GuidanceConfig, fuse_on: bool):
 
 
 def longcat_scan_chunks(sched, guidance: GuidanceConfig, fuse_on: bool,
-                        exec_chunk: int):
+                        exec_chunk: int, fuse_cost: float = 0.5):
     """Chunked-execution plan: the SAME segment structure
     longcat_denoise_scan runs inside one jit, sub-split so no chunk scans
     more than exec_chunk steps — for runtimes that kill long single
@@ -411,7 +510,8 @@ def longcat_scan_chunks(sched, guidance: GuidanceConfig, fuse_on: bool,
     for a, b in segments:
         seg_fuse = fuse_on and a < g_steps
         seg_irr = guidance.guided and a < r_round
-        k = _seg_chunk_steps(exec_chunk, guidance, seg_fuse, seg_irr)
+        k = _seg_chunk_steps(exec_chunk, guidance, seg_fuse, seg_irr,
+                             fuse_cost=fuse_cost)
         for c in range(a, b, k):
             d = min(c + k, b)
             plan.append((seg_fuse, seg_irr,
