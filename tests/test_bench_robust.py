@@ -86,13 +86,21 @@ def test_retry_after_transient_failure(bench, capsys, monkeypatch):
     retried after freeing memory, not fallen through immediately."""
     calls = {"n": 0}
 
-    def flaky():
+    def flaky(*a, **k):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("transient HTTP 500")
         return 0.0944
 
     monkeypatch.setattr(bench, "bench_wan_14b_full", flaky)
+    # belt-and-braces: a signature regression above must NOT fall through
+    # to the REAL 14B layer bench — on the CPU test backend that allocates
+    # ~130 GB of attention scores and gets the suite OOM-killed (happened:
+    # the zero-arg flaky was called with (mode), TypeError'd both
+    # attempts, and the ladder degraded to the real rung)
+    monkeypatch.setattr(bench, "bench_wan_dit_480p", lambda *a, **k: -1.0)
+    monkeypatch.setattr(bench, "bench_attention_only",
+                        lambda *a, **k: (None, -1.0))
     rec = _run_main(bench, capsys)
     assert calls["n"] == 2
     assert rec["value"] == 0.0944

@@ -372,10 +372,30 @@ class WanI2VPipeline:
                         guidance, do_cfg, guided_on, gscale,
                         seg_fuse, seg_irr)
                     if not relaid:
-                        compiled, args = compile_auto_layouts(
-                            raw, args, auto_argnums=LAYOUT_ARGS,
-                            donate_argnums=(LAYOUT_ARGS if donate_data
-                                            else (0, 1)))
+                        try:
+                            compiled, args = compile_auto_layouts(
+                                raw, args, auto_argnums=LAYOUT_ARGS,
+                                donate_argnums=(LAYOUT_ARGS if donate_data
+                                                else (0, 1)))
+                        except Exception as e:  # noqa: BLE001
+                            if ("Ran out of memory" in str(e)
+                                    or "RESOURCE_EXHAUSTED" in str(e)):
+                                # capacity fail-fast (VERDICT r4 item 2):
+                                # the AOT compiler budgets args+temps
+                                # regardless of live chip state, so no
+                                # runtime cleanup can rescue this combo
+                                raise RuntimeError(
+                                    "chunked-fused guided program exceeds "
+                                    "this chip's HBM at compile (known: "
+                                    "int6-FFN + chunked-fused needs "
+                                    "~16.4 GiB vs 15.75 on a v5e — "
+                                    "measured r4/r5). Serve this quant "
+                                    "recipe with the per-phase dispatch "
+                                    "loop (mode='loop'), or use all-int4 "
+                                    "for chunked-fused; see docs/"
+                                    "SERVING.md '16 GB recipe matrix'."
+                                ) from e
+                            raise
                         self.dit_params = args[0]
                         self.vae_params = args[1]
                         # the old VAE buffers were donated away — the
