@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--frames", type=int, default=49)
     ap.add_argument("--skip-dit", action="store_true",
                     help="phase 1 only (VAE-alone baseline)")
+    ap.add_argument("--spatial-chunks", type=int, default=1,
+                    help="H-strip tiling of the decoder's spatial convs "
+                         "(vae_stream.py, exact): the round-5 lever for "
+                         "fitting the fuse next to the DiT — untiled "
+                         "decode temps measured 12.65 GiB at 720p")
     args = ap.parse_args()
 
     from worldforge_tpu.core.dtypes import DEFAULT_POLICY
@@ -96,7 +101,8 @@ def main():
           flush=True)
 
     from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
-    dec_raw, enc_raw = vae_fn_pair(streaming=True, chunk=1)
+    dec_raw, enc_raw = vae_fn_pair(streaming=True, chunk=1,
+                                   spatial_chunks=args.spatial_chunks)
     lat_shape = (1, 16, t_lat, h_lat, w_lat)
     pix_shape = (1, 3, nf, h, w)
     lat_spec = jax.ShapeDtypeStruct(lat_shape, jnp.float32)

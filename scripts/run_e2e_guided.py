@@ -122,6 +122,14 @@ def main():
                          "— the int6-chunked capacity lever; incompatible "
                          "with reusing the arrays for a repeat clip, so "
                          "the steady-state rep re-uploads them)")
+    ap.add_argument("--spatial-chunks", type=int, default=1,
+                    help="H-strip tiling of the streaming VAE decoder's "
+                         "spatial convs (exact math, vae_stream.py): "
+                         "shrinks the per-chunk decode transients ~n-fold "
+                         "— the 720p-decode-next-to-DiT capacity knob "
+                         "(12.65 GiB of temps untiled). Use a divisor of "
+                         "the latent height (6 at 480p h=60; 6/9/10 at "
+                         "720p h=90)")
     ap.add_argument("--quant", choices=("int4", "int6-ffn"), default="int4",
                     help="DiT capacity recipe: 'int4' = all-int4 W4A8 "
                          "(~8.1 GB, guided drift ~2%%); 'int6-ffn' = int6 "
@@ -185,7 +193,8 @@ def main():
 
     pipe = WanI2VPipeline(None, dit_cfg, vae_params, vae_cfg,
                           streaming_vae=True, auto_layout=True,
-                          token_chunk=args.token_chunk)
+                          token_chunk=args.token_chunk,
+                          streaming_vae_spatial=args.spatial_chunks)
 
     h, w, nf = args.height, args.width, args.frames
 

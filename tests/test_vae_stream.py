@@ -73,6 +73,86 @@ def test_streaming_decode_chunked_matches(vae, rng, chunk):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("n_strips", [2, 4])
+def test_streaming_decode_spatial_strips_exact(vae, rng, n_strips):
+    """H-strip-tiled spatial convs (the 720p-next-to-DiT capacity knob)
+    produce the SAME dot products as the single-pass lowering: VALID-H
+    convs over halo strips gathered from zero-padded inputs, so the zero
+    halo at true borders reproduces SAME padding exactly. Differences are
+    XLA conv-tiling reassociation only (~1e-6)."""
+    cfg, params = vae
+    z = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 3, 4, 2)),
+                    jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    base = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
+    tiled = vae_decode_streaming(params, cfg, z, mean=mean, std=std,
+                                 spatial_chunks=n_strips)
+    assert tiled.shape == base.shape
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_streaming_decode_spatial_strips_indivisible_falls_back(vae, rng):
+    """A strip count that does not divide a stage's H falls back to the
+    untiled path for that stage — results identical either way."""
+    cfg, params = vae
+    z = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 3, 5, 2)),
+                    jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    base = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
+    out = vae_decode_streaming(params, cfg, z, mean=mean, std=std,
+                               spatial_chunks=3)  # 5 % 3 != 0 at stage 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_streaming_decode_strips_with_temporal_chunk(vae, rng):
+    """spatial_chunks composes with the temporal chunk knob."""
+    cfg, params = vae
+    z = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 5, 4, 2)),
+                    jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    base = vae_decode_streaming(params, cfg, z, mean=mean, std=std)
+    both = vae_decode_streaming(params, cfg, z, mean=mean, std=std,
+                                chunk=2, spatial_chunks=2)
+    np.testing.assert_allclose(np.asarray(both), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n_strips", [2, 4])
+def test_streaming_encode_spatial_strips_exact(vae, rng, n_strips):
+    """Encoder twin of the decode strip test: res-cell convs (halo kh//2)
+    and the stride-2 downsample (no left halo, bottom zero pad) tile
+    exactly over H strips."""
+    cfg, params = vae
+    video = jnp.asarray(rng.standard_normal((1, 3, 9, 32, 16)) * 0.5,
+                        jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    base = vae_encode_streaming(params, cfg, video, mean=mean, std=std)
+    tiled = vae_encode_streaming(params, cfg, video, mean=mean, std=std,
+                                 spatial_chunks=n_strips)
+    assert tiled.shape == base.shape
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_streaming_encode_strips_indivisible_falls_back(vae, rng):
+    cfg, params = vae
+    video = jnp.asarray(rng.standard_normal((1, 3, 5, 24, 16)) * 0.5,
+                        jnp.float32)
+    mean = jnp.zeros((cfg.z_dim,))
+    std = jnp.ones((cfg.z_dim,))
+    base = vae_encode_streaming(params, cfg, video, mean=mean, std=std)
+    out = vae_encode_streaming(params, cfg, video, mean=mean, std=std,
+                               spatial_chunks=5)  # 24 % 5 != 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_streaming_decode_bad_chunk_falls_back(vae, rng):
     cfg, params = vae
     z = jnp.asarray(rng.standard_normal((1, cfg.z_dim, 4, 2, 2)),

@@ -35,15 +35,142 @@ CACHE_T = 2
 # zero padding / 'Rep' sentinel semantics).
 
 
-def _cconv_cell(p, x, cache):
+def _cconv_cell(p, x, cache, spatial_chunks: int = 1):
     """Causal conv3d k=(3,kh,kw): conv over [cache(2) || x], cache out =
     last 2 frames of the padded input. Routed through vae._causal_conv3d
     (front_pad=0: the cache IS the causal padding) so the 2D-decomposition
     switch (vae._CONV3D_MODE) covers the streaming path too."""
-    from worldforge_tpu.models.wan.vae import _causal_conv3d
     xin = jnp.concatenate([cache, x], axis=1)
-    y = _causal_conv3d(p, xin, front_pad=0)
+    y = _conv3d_strips(p, xin, spatial_chunks)
     return y, xin[:, -CACHE_T:]
+
+
+# ------------------------------------------------- H-strip spatial tiling
+#
+# The streaming scan bounds TEMPORAL activation memory to one chunk, but
+# at 720p the per-chunk spatial conv transients still peak at 12.65 GiB
+# of HLO temps (measured, scripts/probe_720p_guided_capacity.py) — the
+# reason the guided-720p fuse cannot execute next to a resident DiT on
+# 16 GB. Every decoder op is spatially local (RMS norm is per-position
+# over channels, vae.py:39-54; convs have halo kh//2; the only global-
+# spatial op — mid-block attention — runs at latent resolution and stays
+# untiled), so the spatial work tiles EXACTLY over H strips.
+#
+# Memory discipline (measured on chip): a first lax.map + full-pad +
+# stack implementation made temps WORSE (14.54 vs 12.65 GiB) — the pad
+# and the [n, ...]->[..., H, ...] restack each materialize another
+# full-size buffer. This implementation adds ZERO full-size temporaries:
+# strips are gathered with clipped-index jnp.take + border mask (no
+# padded copy; the zero mask at true borders reproduces SAME padding
+# exactly), W/bottom padding happens inside the conv op, and outputs are
+# written in place into one carried buffer via
+# fori_loop + dynamic_update_slice. Equivalence is exact — gated in
+# tests/test_vae_stream.py.
+
+
+def _gather_h(x, lo, size):
+    """Rows [lo, lo+size) of axis 2 with zeros outside [0, H) — the
+    strip-halo gather that needs no padded full-array copy."""
+    H = x.shape[2]
+    idx = lo + jnp.arange(size)
+    xg = jnp.take(x, jnp.clip(idx, 0, H - 1), axis=2)
+    mask = ((idx >= 0) & (idx < H)).astype(x.dtype)
+    return xg * mask[None, None, :, None, None]
+
+
+def _conv3d_validH(p, x):
+    """conv3d with VALID temporal (pad already in x via the cache),
+    VALID H (the strip halo provides it), SAME W (padded inside the op)."""
+    kw = p["w"].shape[2]
+    dn = jax.lax.conv_dimension_numbers(x.shape, p["w"].shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1, 1, 1),
+        [(0, 0), (0, 0), (kw // 2, kw // 2)], dimension_numbers=dn)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def _conv3d_strips(p, xin, n: int):
+    """Spatial conv over [B,T',H,W,C] in n H-strips with halo kh//2.
+    Falls back to the single-pass lowering when n<=1, H%n!=0, or the
+    kernel is spatially pointwise."""
+    from worldforge_tpu.models.wan.vae import _causal_conv3d
+    kt, kh = p["w"].shape[0], p["w"].shape[1]
+    H = xin.shape[2]
+    if n <= 1 or kh == 1 or H % n:
+        return _causal_conv3d(p, xin, front_pad=0)
+    hs = H // n
+    r = kh // 2
+    b, tp = xin.shape[0], xin.shape[1]
+    out = jnp.zeros((b, tp - (kt - 1), H, xin.shape[3], p["w"].shape[-1]),
+                    xin.dtype)
+
+    def body(i, out):
+        lo = i * hs
+        xg = _gather_h(xin, lo - r, hs + 2 * r)
+        y = _conv3d_validH(p, xg)             # [B, T', hs, W, Cout]
+        return jax.lax.dynamic_update_slice_in_dim(out, y, lo, axis=2)
+
+    return jax.lax.fori_loop(0, n, body, out)
+
+
+def _down_spatial_strips(p, x, n: int):
+    """Encoder spatial downsample (ZeroPad2d(right=1, bottom=1) + 3x3
+    stride-2 VALID, vae.py:87-94) in n H-strips. Output strip of hso rows
+    consumes input rows [2*lo, 2*lo + 2*hso + 1) — no left halo (the
+    stride-2 window for output row o starts exactly at input row 2o); the
+    bottom and right zero pads come from the gather mask / the conv op."""
+    b, t, h, w, c = x.shape
+    hso = (h // 2) // n
+    w2 = (w + 1) // 2
+    out = jnp.zeros((b, t, n * hso, w2, c), x.dtype)
+
+    def body(i, out):
+        lo = i * hso
+        xg = _gather_h(x, 2 * lo, 2 * hso + 1)        # bottom pad = mask
+        flat = xg.reshape(b * t, 2 * hso + 1, w, c)
+        dn = jax.lax.conv_dimension_numbers(
+            flat.shape, p["conv"]["w"].shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            flat, p["conv"]["w"].astype(x.dtype), (2, 2),
+            [(0, 0), (0, 1)], dimension_numbers=dn)
+        y = y + p["conv"]["b"].astype(y.dtype)        # [b*t, hso, w2, c]
+        y = y.reshape(b, t, hso, w2, c)
+        return jax.lax.dynamic_update_slice_in_dim(out, y, lo, axis=2)
+
+    return jax.lax.fori_loop(0, n, body, out)
+
+
+def _up_spatial_strips(p, x2, n: int):
+    """nearest-2x + 3x3 conv (C -> C/2) in n H-strips. Strip i consumes x
+    rows [i*hs-1, (i+1)*hs+1) (halo 1, zero at borders via the gather
+    mask) -> nearest-up rows [2i*hs-2, 2(i+1)*hs+2) -> slice the halo-1
+    window -> VALID-H conv -> output rows [2i*hs, 2(i+1)*hs). Identical
+    dot products to SAME conv over the full upsampled array."""
+    b, t2, h, w, c = x2.shape
+    hs = h // n
+    kw = p["w"].shape[1]
+    cout = p["w"].shape[-1]
+    out = jnp.zeros((b, t2, 2 * h, 2 * w, cout), x2.dtype)
+
+    def body(i, out):
+        lo = i * hs
+        xg = _gather_h(x2, lo - 1, hs + 2)
+        flat = xg.reshape(b * t2, hs + 2, w, c)
+        up = jnp.repeat(jnp.repeat(flat, 2, axis=1), 2, axis=2)
+        up = up[:, 1:2 * hs + 3]               # the halo-1 output window
+        dn_ = jax.lax.conv_dimension_numbers(
+            up.shape, p["w"].shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            up, p["w"].astype(up.dtype), (1, 1),
+            [(0, 0), (kw // 2, kw // 2)], dimension_numbers=dn_)
+        y = y + p["b"].astype(y.dtype)
+        y = y.reshape(b, t2, 2 * hs, 2 * w, cout)
+        return jax.lax.dynamic_update_slice_in_dim(out, y, 2 * lo, axis=2)
+
+    return jax.lax.fori_loop(0, n, body, out)
 
 
 def _conv1_cell(p, x, cache):
@@ -55,12 +182,12 @@ def _conv1_cell(p, x, cache):
     return y + p["b"].astype(y.dtype), cache
 
 
-def _res_cell(p, x, caches):
+def _res_cell(p, x, caches, spatial_chunks: int = 1):
     c1, c2 = caches
     h = _rms_norm_c(p["norm1"], x)
-    h, c1 = _cconv_cell(p["conv1"], jax.nn.silu(h), c1)
+    h, c1 = _cconv_cell(p["conv1"], jax.nn.silu(h), c1, spatial_chunks)
     h = _rms_norm_c(p["norm2"], h)
-    h, c2 = _cconv_cell(p["conv2"], jax.nn.silu(h), c2)
+    h, c2 = _cconv_cell(p["conv2"], jax.nn.silu(h), c2, spatial_chunks)
     if "shortcut" in p:
         s, _ = _conv1_cell(p["shortcut"], x, None)
     else:
@@ -68,19 +195,24 @@ def _res_cell(p, x, caches):
     return h + s, (c1, c2)
 
 
-def _down_cell(p, x, cache, temporal, is_first):
+def _down_cell(p, x, cache, temporal, is_first, spatial_chunks: int = 1):
     """Encoder Resample: spatial stride-2 (per frame), then — when temporal
     and not the first chunk — time_conv over [cache(1) || x] stride 2.
     First chunk: identity in time, cache = last frame (vae.py:143-159)."""
     b, t, h, w, c = x.shape
-    flat = x.reshape(b * t, h, w, c)
-    flat = jnp.pad(flat, ((0, 0), (0, 1), (0, 1), (0, 0)))
-    dn = jax.lax.conv_dimension_numbers(flat.shape, p["conv"]["w"].shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    y = jax.lax.conv_general_dilated(flat, p["conv"]["w"].astype(x.dtype),
-                                     (2, 2), "VALID", dimension_numbers=dn)
-    y = (y + p["conv"]["b"].astype(y.dtype)).reshape(
-        b, t, (h + 1) // 2, (w + 1) // 2, c)
+    if (spatial_chunks > 1 and h % 2 == 0
+            and (h // 2) % spatial_chunks == 0):
+        y = _down_spatial_strips(p, x, spatial_chunks)
+    else:
+        flat = x.reshape(b * t, h, w, c)
+        flat = jnp.pad(flat, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        dn = jax.lax.conv_dimension_numbers(flat.shape, p["conv"]["w"].shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(flat, p["conv"]["w"].astype(x.dtype),
+                                         (2, 2), "VALID",
+                                         dimension_numbers=dn)
+        y = (y + p["conv"]["b"].astype(y.dtype)).reshape(
+            b, t, (h + 1) // 2, (w + 1) // 2, c)
     if not temporal:
         return y, cache
     if is_first:
@@ -95,11 +227,13 @@ def _down_cell(p, x, cache, temporal, is_first):
     return z, y[:, -1:]
 
 
-def _up_cell(p, x, cache, temporal, is_first):
+def _up_cell(p, x, cache, temporal, is_first, spatial_chunks: int = 1):
     """Decoder Resample: when temporal and not the first latent frame,
     time_conv over [cache(2) || x] -> 2C channels -> 2 frames; first frame
     passes through ('Rep', vae.py:103-137; zero cache == the 'Rep' zero
-    padding). Then nearest-2x spatial + conv C -> C/2."""
+    padding). Then nearest-2x spatial + conv C -> C/2 (H-strip-tiled when
+    spatial_chunks>1 — the time conv is spatially pointwise and stays
+    full-size)."""
     b, t, h, w, c = x.shape
     if temporal and not is_first:
         xin = jnp.concatenate([cache, x], axis=1)
@@ -118,6 +252,8 @@ def _up_cell(p, x, cache, temporal, is_first):
         # conv windows (vae.py:120-126; see vae.py _upsample derivation)
         new_cache = jnp.zeros_like(cache) if temporal else cache
     t2 = x2.shape[1]
+    if spatial_chunks > 1 and h % spatial_chunks == 0:
+        return _up_spatial_strips(p["conv"], x2, spatial_chunks), new_cache
     flat = x2.reshape(b * t2, h, w, c)
     up = jnp.repeat(jnp.repeat(flat, 2, axis=1), 2, axis=2)
     y = _conv2d(p["conv"], up)
@@ -204,20 +340,24 @@ def init_decoder_caches(params, cfg: WanVAEConfig, b, h, w,
 # ---------------------------------------------------------------- passes
 
 
-def _encoder_chunk(params, cfg: WanVAEConfig, x, caches, is_first: bool):
+def _encoder_chunk(params, cfg: WanVAEConfig, x, caches, is_first: bool,
+                   spatial_chunks: int = 1):
     c = dict(caches)
-    h, c["conv_in"] = _cconv_cell(params["conv_in"], x, caches["conv_in"])
+    h, c["conv_in"] = _cconv_cell(params["conv_in"], x, caches["conv_in"],
+                                  spatial_chunks)
     stages = []
     for i, st in enumerate(params["stages"]):
         sc = dict(caches["stages"][i])
         blocks = []
         for j, blk in enumerate(st["blocks"]):
-            h, bc = _res_cell(blk, h, caches["stages"][i]["blocks"][j])
+            h, bc = _res_cell(blk, h, caches["stages"][i]["blocks"][j],
+                              spatial_chunks)
             blocks.append(bc)
         sc["blocks"] = blocks
         if "down" in st:
             h, dc = _down_cell(st["down"], h, caches["stages"][i]["down"],
-                               cfg.temporal_downsample[i], is_first)
+                               cfg.temporal_downsample[i], is_first,
+                               spatial_chunks)
             sc["down"] = dc
         stages.append(sc)
     c["stages"] = stages
@@ -233,8 +373,11 @@ def _encoder_chunk(params, cfg: WanVAEConfig, x, caches, is_first: bool):
     return h, c
 
 
-def _decoder_chunk(params, cfg: WanVAEConfig, z, caches, is_first: bool):
+def _decoder_chunk(params, cfg: WanVAEConfig, z, caches, is_first: bool,
+                   spatial_chunks: int = 1):
     c = dict(caches)
+    # conv_in + mid run at latent resolution — cheap, untiled (the mid
+    # attention is globally spatial and must see the full frame anyway)
     h, c["conv_in"] = _cconv_cell(params["conv_in"], z, caches["conv_in"])
     mid = {}
     h, mid["res1"] = _res_cell(params["mid"]["res1"], h,
@@ -248,17 +391,20 @@ def _decoder_chunk(params, cfg: WanVAEConfig, z, caches, is_first: bool):
         sc = dict(caches["stages"][i])
         blocks = []
         for j, blk in enumerate(st["blocks"]):
-            h, bc = _res_cell(blk, h, caches["stages"][i]["blocks"][j])
+            h, bc = _res_cell(blk, h, caches["stages"][i]["blocks"][j],
+                              spatial_chunks)
             blocks.append(bc)
         sc["blocks"] = blocks
         if "up" in st:
             h, uc = _up_cell(st["up"], h, caches["stages"][i]["up"],
-                             cfg.temporal_upsample[i], is_first)
+                             cfg.temporal_upsample[i], is_first,
+                             spatial_chunks)
             sc["up"] = uc
         stages.append(sc)
     c["stages"] = stages
     h = jax.nn.silu(_rms_norm_c(params["norm_out"], h))
-    h, c["conv_out"] = _cconv_cell(params["conv_out"], h, caches["conv_out"])
+    h, c["conv_out"] = _cconv_cell(params["conv_out"], h, caches["conv_out"],
+                                   spatial_chunks)
     return h, c
 
 
@@ -266,10 +412,13 @@ def _decoder_chunk(params, cfg: WanVAEConfig, z, caches, is_first: bool):
 
 
 def vae_encode_streaming(params, cfg: WanVAEConfig, video,
-                         mean=None, std=None) -> jnp.ndarray:
+                         mean=None, std=None,
+                         spatial_chunks: int = 1) -> jnp.ndarray:
     """Streaming equivalent of vae_encode: video [B,3,T,H,W] (T = 1+4k) ->
     normalized latents. Chunks: [1, 4, 4, ...] input frames
-    (vae.py:516-534)."""
+    (vae.py:516-534). spatial_chunks: H-strip tiling of the spatial convs
+    (exact; see the decode twin) — the encoder's untiled 720p transients
+    are 8.43 GiB, also over budget next to a resident DiT."""
     b, _, t, h, w = video.shape
     # compute dtype follows the param dtype (see vae.py::vae_encode)
     x = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(
@@ -277,7 +426,8 @@ def vae_encode_streaming(params, cfg: WanVAEConfig, video,
     caches = init_encoder_caches(params["encoder"], cfg, b, h, w, x.dtype)
 
     out0, caches = _encoder_chunk(params["encoder"], cfg, x[:, :1], caches,
-                                  is_first=True)
+                                  is_first=True,
+                                  spatial_chunks=spatial_chunks)
     n_chunks = (t - 1) // 4
     if n_chunks:
         chunks = x[:, 1:].reshape(b, n_chunks, 4, h, w, 3)
@@ -285,7 +435,8 @@ def vae_encode_streaming(params, cfg: WanVAEConfig, video,
 
         def step(caches, chunk):
             y, caches = _encoder_chunk(params["encoder"], cfg, chunk,
-                                       caches, is_first=False)
+                                       caches, is_first=False,
+                                       spatial_chunks=spatial_chunks)
             return caches, y
 
         caches, outs = jax.lax.scan(step, caches, chunks)
@@ -305,14 +456,23 @@ def vae_encode_streaming(params, cfg: WanVAEConfig, video,
 
 
 def vae_decode_streaming(params, cfg: WanVAEConfig, latents,
-                         mean=None, std=None, chunk: int = 1) -> jnp.ndarray:
+                         mean=None, std=None, chunk: int = 1,
+                         spatial_chunks: int = 1) -> jnp.ndarray:
     """Streaming equivalent of vae_decode: ``chunk`` latent frames per scan
     step (the reference decodes 1 at a time, vae.py:544-568; any chunk size
     is mathematically identical — the conv caches carry the same state).
     Larger chunks trade activation memory for per-step overhead; measured on
     a 16 GB v5e chunk=2 was NET SLOWER (4.0 s vs 3.3 s full decode — memory
     pressure beats the conv-tiling gain), so the knob is for big-HBM hosts.
-    chunk must divide t-1; falls back to 1 otherwise."""
+    chunk must divide t-1; falls back to 1 otherwise.
+
+    spatial_chunks>1 additionally tiles each stage's spatial convs over
+    that many H strips (exact math — see the H-strip section above): the
+    per-chunk conv transients shrink ~spatial_chunks-fold, the capacity
+    knob for 720p decode next to a resident DiT. Stages whose H is not
+    divisible fall back to single-pass individually; pick a divisor of
+    the LATENT height (e.g. 6 for 480p h=60, 6/9/10 for 720p h=90) so
+    every stage tiles."""
     b, _, t, h, w = latents.shape
     if chunk < 1 or (t - 1) % chunk:
         chunk = 1
@@ -328,7 +488,8 @@ def vae_decode_streaming(params, cfg: WanVAEConfig, latents,
 
     caches = init_decoder_caches(params["decoder"], cfg, b, h, w, z.dtype)
     out0, caches = _decoder_chunk(params["decoder"], cfg, z[:, :1], caches,
-                                  is_first=True)
+                                  is_first=True,
+                                  spatial_chunks=spatial_chunks)
     if t > 1:
         n = (t - 1) // chunk
         frames = z[:, 1:].reshape(b, n, chunk, h, w, z.shape[-1])
@@ -336,7 +497,8 @@ def vae_decode_streaming(params, cfg: WanVAEConfig, latents,
 
         def step(caches, zf):
             y, caches = _decoder_chunk(params["decoder"], cfg, zf, caches,
-                                       is_first=False)
+                                       is_first=False,
+                                       spatial_chunks=spatial_chunks)
             return caches, y
 
         caches, outs = jax.lax.scan(step, caches, frames)

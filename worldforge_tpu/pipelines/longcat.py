@@ -49,6 +49,9 @@ class LongCatPipeline:
     vae_scale_s: int = 8
     streaming_vae: bool = False  # scan-streaming VAE (see WanI2VPipeline)
     streaming_vae_chunk: int = 1  # latent frames per decode scan step
+    # H-strip tiling of the streaming decoder's spatial convs (exact;
+    # vae_stream.py) — the 720p-decode-next-to-DiT capacity knob
+    streaming_vae_spatial: int = 1
     # jax.sharding.Mesh for multi-chip serving: threaded into every DiT
     # forward (Ulysses sp / BSA ring-CP dispatch in models/longcat/dit.py)
     mesh: object = None
@@ -69,7 +72,8 @@ class LongCatPipeline:
 
     def _vae_fns(self):
         from worldforge_tpu.pipelines.vae_dispatch import vae_fn_pair
-        return vae_fn_pair(self.streaming_vae, self.streaming_vae_chunk)
+        return vae_fn_pair(self.streaming_vae, self.streaming_vae_chunk,
+                           self.streaming_vae_spatial)
 
     @functools.cached_property
     def _vae_jit_fns(self):

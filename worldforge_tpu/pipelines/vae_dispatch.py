@@ -40,24 +40,29 @@ def _truncate_to_causal(video):
     return video[:, :, : 1 + 4 * ((t - 1) // 4)]
 
 
-def vae_fn_pair(streaming: bool, chunk: int = 1):
+def vae_fn_pair(streaming: bool, chunk: int = 1, spatial_chunks: int = 1):
     """(decode_fn, encode_fn) with signature f(params, cfg, x) — the raw
     function pair for fused runners that close over params. The encode fn
-    is shape-aware (see module docstring)."""
+    is shape-aware (see module docstring). spatial_chunks>1 H-strip-tiles
+    the streaming decoder's spatial convs (exact; the 720p-decode-next-to-
+    DiT capacity knob — vae_stream.py)."""
     if not streaming:
         return vae_decode, (lambda p, cfg, v:
                             vae_encode(p, cfg, _truncate_to_causal(v)))
     from worldforge_tpu.models.wan.vae_stream import (vae_decode_streaming,
                                                       vae_encode_streaming)
-    dec = functools.partial(vae_decode_streaming, chunk=chunk)
+    dec = functools.partial(vae_decode_streaming, chunk=chunk,
+                            spatial_chunks=spatial_chunks)
 
     def enc(params, cfg, video):
-        return vae_encode_streaming(params, cfg, _truncate_to_causal(video))
+        return vae_encode_streaming(params, cfg, _truncate_to_causal(video),
+                                    spatial_chunks=spatial_chunks)
 
     return dec, enc
 
 
-def jit_vae_fns(params, cfg, streaming: bool, chunk: int = 1):
+def jit_vae_fns(params, cfg, streaming: bool, chunk: int = 1,
+                spatial_chunks: int = 1):
     """Jitted (decode(z), encode(video)) closures over fixed params.
 
     params is threaded as a REAL jit argument, not a closure capture:
@@ -65,7 +70,7 @@ def jit_vae_fns(params, cfg, streaming: bool, chunk: int = 1):
     production VAE size the serialized module then exceeds the remote-
     compile request limit (HTTP 413 through the axon tunnel) — and would
     bloat the compile cache on any host."""
-    dec, enc = vae_fn_pair(streaming, chunk)
+    dec, enc = vae_fn_pair(streaming, chunk, spatial_chunks)
     jdec = jax.jit(lambda p, z: dec(p, cfg, z))
     jenc = jax.jit(lambda p, v: enc(p, cfg, v))
     return (lambda z: jdec(params, z)), (lambda v: jenc(params, v))

@@ -60,6 +60,11 @@ class WanI2VPipeline:
     # value; >1 trades activation memory for conv efficiency, and silently
     # falls back to 1 when it does not divide t-1)
     streaming_vae_chunk: int = 1
+    # H-strip tiling of the streaming decoder's spatial convs (exact math,
+    # vae_stream.py): >1 shrinks the per-chunk conv transients ~n-fold —
+    # the capacity knob for 720p decode next to a resident DiT (12.65 GiB
+    # of temps untiled, measured). Pick a divisor of the latent height.
+    streaming_vae_spatial: int = 1
     # jax.sharding.Mesh for multi-chip serving: threaded into every DiT
     # forward (Ulysses sp / 2D sp_h x sp_w dispatch in models/wan/dit.py)
     mesh: object = None
@@ -84,7 +89,8 @@ class WanI2VPipeline:
         # minutes per extra compile through the remote-compile tunnel
         from worldforge_tpu.pipelines.vae_dispatch import jit_vae_fns
         return jit_vae_fns(self.vae_params, self.vae_cfg,
-                           self.streaming_vae, self.streaming_vae_chunk)
+                           self.streaming_vae, self.streaming_vae_chunk,
+                           self.streaming_vae_spatial)
 
     def _vae_decode_fn(self):
         return self._vae_jit_fns[0]
@@ -136,7 +142,8 @@ class WanI2VPipeline:
 
         cfg = self.dit_cfg
         _dec, _enc = vae_fn_pair(self.streaming_vae,
-                                 self.streaming_vae_chunk)
+                                 self.streaming_vae_chunk,
+                                 self.streaming_vae_spatial)
 
         def model_fn(lat, t):
             x = lat.astype(jnp.float32)

@@ -58,6 +58,7 @@ def decode_in_subprocess(
     params_path: Optional[str] = None,
     dtype: str = "bfloat16",
     chunk: int = 1,
+    spatial_chunks: int = 1,
     reps: int = 1,
     timeout: int = 3600,
     env: Optional[dict] = None,
@@ -86,6 +87,7 @@ def decode_in_subprocess(
         "vae_cfg": dataclasses.asdict(vae_cfg),
         "dtype": dtype,
         "chunk": int(chunk),
+        "spatial_chunks": int(spatial_chunks),
         "reps": int(reps),
         "params_seed": int(params_seed),
         "params_path": params_path,
@@ -135,7 +137,8 @@ def _child(spec_path: str) -> None:
     else:
         params = init_wan_vae(jax.random.key(spec["params_seed"]), cfg,
                               dtype=dt)
-    dec, _ = jit_vae_fns(params, cfg, streaming=True, chunk=spec["chunk"])
+    dec, _ = jit_vae_fns(params, cfg, streaming=True, chunk=spec["chunk"],
+                         spatial_chunks=spec.get("spatial_chunks", 1))
     lat = jnp.asarray(np.load(spec["lat_path"]))
 
     times = []
