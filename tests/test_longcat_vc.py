@@ -55,6 +55,46 @@ def test_kv_cache_matches_joint_forward(lc, rng):
                                atol=5e-4, rtol=5e-4)
 
 
+def test_vc_cached_forward_ulysses_parity(lc, rng):
+    """The vc KV-cache path over a (dp,fsdp,sp) mesh — cache build and
+    cached denoise both through the Ulysses all-to-all attention with a
+    sequence-sharded cache — must match the single-device forward (the
+    multi-chip vc serving layout; VERDICT r4 item 6 follow-through)."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    from worldforge_tpu.core.mesh import make_mesh
+    from worldforge_tpu.core.dtypes import FP32_POLICY
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+
+    cfg, params, _, _ = lc
+    cfg = type(cfg)(**{**cfg.__dict__, "num_heads": 4})
+    params = init_longcat_dit(jax.random.key(5), cfg, dtype=jnp.float32)
+    b, tc, tn, hh, ww = 1, 2, 3, 8, 8   # Sc=8, Sn=12, Sc+Sn=20 — all %4==0
+    cond = jnp.asarray(rng.standard_normal((b, 4, tc, hh, ww)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((b, 4, tn, hh, ww)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 6, cfg.caption_channels)),
+                      jnp.float32)
+    mask = jnp.ones((b, 6), jnp.int32)
+    tb = jnp.full((b, tn), 640.0, jnp.float32)
+
+    kv_ref = longcat_dit_cache_cond(params, cfg, cond, policy=FP32_POLICY)
+    out_ref = longcat_dit_forward_with_cache(
+        params, cfg, noise, tb, ctx, kv_ref, (tc,),
+        encoder_attention_mask=mask, policy=FP32_POLICY)
+
+    mesh = make_mesh(dp=1, fsdp=2, sp=4)
+    sharded = shard_params_fsdp(params, mesh)
+    with mesh:
+        kv = jax.jit(lambda p, c: longcat_dit_cache_cond(
+            p, cfg, c, policy=FP32_POLICY, mesh=mesh))(sharded, cond)
+        out = jax.jit(lambda p, n, kv_: longcat_dit_forward_with_cache(
+            p, cfg, n, tb, ctx, kv_, (tc,), encoder_attention_mask=mask,
+            policy=FP32_POLICY, mesh=mesh))(sharded, noise, kv)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(kv_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=5e-4, rtol=5e-4)
+
+
 def test_generate_vc(lc, rng):
     cfg, params, vae_cfg, vae_params = lc
     pipe = LongCatPipeline(dit_params=params, dit_cfg=cfg,

@@ -483,7 +483,7 @@ def longcat_dit_forward(params, cfg: LongCatDiTConfig, hidden_states,
 
 def longcat_dit_cache_cond(params, cfg: LongCatDiTConfig, cond_latents,
                            policy: Policy = DEFAULT_POLICY,
-                           cache_dtype=jnp.float32):
+                           cache_dtype=jnp.float32, mesh=None):
     """Run the DiT over CLEAN conditioning latents only (timestep 0, cross-
     attn skipped) and return per-layer (k, v) caches of the cond tokens —
     pre-RoPE, post-QK-norm, matching Attention.forward(return_kv=True)
@@ -509,6 +509,14 @@ def longcat_dit_cache_cond(params, cfg: LongCatDiTConfig, cond_latents,
                 patchify(cond_latents.astype(policy.compute_dtype),
                          cfg.patch_size),
                 compute_dtype=policy.compute_dtype)
+    sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+    sp_on = (sp > 1 and (nt * nh * nw) % sp == 0
+             and cfg.num_heads % sp == 0)
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PS("dp", "sp" if sp_on else None,
+                                      None)))
 
     te = timestep_embedding(jnp.zeros((b * nt,), jnp.float32),
                             cfg.frequency_embedding_size)
@@ -533,9 +541,17 @@ def longcat_dit_cache_cond(params, cfg: LongCatDiTConfig, cond_latents,
         k = _rms_hd(layer["k_norm"], _heads_hd(k, h), cfg.eps)
         v_h = _heads_hd(v, h)
         kv = jnp.stack([k.astype(cache_dtype), v_h.astype(cache_dtype)])
+        if sp_on:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+            kv = jax.lax.with_sharding_constraint(
+                kv, NamedSharding(mesh, PS(None, "dp", "sp", None, None)))
         # continue the forward so later layers cache the right activations
         qr, kr = apply_rope_qk(q, k, cos, sin, out_dtype=cdt)
-        o = attention(qr, kr, v_h.astype(cdt))
+        if sp_on:
+            from worldforge_tpu.parallel.ulysses import ulysses_attention
+            o = ulysses_attention(qr, kr, v_h.astype(cdt), mesh=mesh)
+        else:
+            o = attention(qr, kr, v_h.astype(cdt))
         o = P.dense(layer["attn_proj"],
                     o.reshape(xf.shape[0], xf.shape[1], cfg.hidden_size)
                     .astype(cdt))
@@ -561,14 +577,20 @@ def longcat_dit_forward_with_cache(params, cfg: LongCatDiTConfig,
                                    encoder_hidden_states, kv_cache,
                                    cond_grid, encoder_attention_mask=None,
                                    policy: Policy = DEFAULT_POLICY,
-                                   attn_impl: str = "auto"):
+                                   attn_impl: str = "auto", mesh=None):
     """Denoise NOISE latents with cond-token KV caches
     (Attention.forward_with_kv_cache, attention.py:149-181: RoPE re-applied
     over the concatenated (T_cond + T) grid; cross-attn on noise tokens
     only but without zero-fill since cond tokens are absent here).
 
     hidden_states: [B, C, T, H, W] (noise part only); cond_grid: (Tc,) cond
-    latent frames; kv_cache: [L, 2, B, Sc, H, D]."""
+    latent frames; kv_cache: [L, 2, B, Sc, H, D].
+
+    mesh: with an sp axis >1, noise tokens AND the cached cond tokens are
+    sequence-sharded and every self-attention runs through the Ulysses
+    all-to-all path (q over the noise tokens, k/v over cache||fresh —
+    both global sequence lengths must divide sp, heads must divide sp);
+    the multi-chip vc serving layout."""
     from worldforge_tpu.models.wan.dit import patchify, unpatchify
 
     b, _, T, H, W = hidden_states.shape
@@ -584,6 +606,21 @@ def longcat_dit_forward_with_cache(params, cfg: LongCatDiTConfig,
                 patchify(hidden_states.astype(policy.compute_dtype),
                          cfg.patch_size),
                 compute_dtype=policy.compute_dtype)
+    sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+    n_noise = nt * nh * nw
+    # static guard: Ulysses needs every attention operand's sequence AND
+    # the head count divisible by sp (shard_map hard-errors otherwise)
+    sp_on = (sp > 1 and n_noise % sp == 0 and (n_cond + n_noise) % sp == 0
+             and cfg.num_heads % sp == 0)
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PS("dp", "sp" if sp_on else None,
+                                      None)))
+        if sp_on:
+            kv_cache = jax.lax.with_sharding_constraint(
+                kv_cache, NamedSharding(
+                    mesh, PS(None, None, "dp", "sp", None, None)))
     te = timestep_embedding(timestep.reshape(-1),
                             cfg.frequency_embedding_size)
     te = P.dense(params["t_embedder"]["fc1"], te, compute_dtype=jnp.float32)
@@ -619,7 +656,12 @@ def longcat_dit_forward_with_cache(params, cfg: LongCatDiTConfig,
                                  axis=1)
         q = apply_rope(q, cos_q, sin_q, out_dtype=cdt)
         k_full = apply_rope(k_full, cos_full, sin_full, out_dtype=cdt)
-        o = attention(q, k_full, v_full, impl=attn_impl)
+        if sp_on:
+            from worldforge_tpu.parallel.ulysses import ulysses_attention
+            o = ulysses_attention(q, k_full, v_full, mesh=mesh,
+                                  impl=attn_impl)
+        else:
+            o = attention(q, k_full, v_full, impl=attn_impl)
         o = P.dense(layer["attn_proj"],
                     o.reshape(b, nt * nh * nw, cfg.hidden_size).astype(cdt))
         of = o.astype(jnp.float32).reshape(b, nt, -1, cfg.hidden_size)

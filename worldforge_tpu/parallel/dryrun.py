@@ -179,9 +179,9 @@ def _dryrun_longcat_vc(mesh) -> None:
     continuation — cond-latent KV-cache build + cached-attention denoise
     loop (longcat_dit_cache_cond / longcat_dit_forward_with_cache;
     reference attention.py:149-181, pipeline_longcat_video.py:1010-1271)
-    — with FSDP-sharded params under GSPMD (the multi-chip vc serving
-    layout: per-layer weight all-gathers; the KV cache itself stays
-    replicated at this scale)."""
+    — FSDP-sharded params AND the sp Ulysses path through the
+    sequence-sharded cache (the multi-chip vc serving layout; parity vs
+    single-device in tests/test_longcat_vc.py)."""
     from worldforge_tpu.models.longcat.dit import (LongCatDiTConfig,
                                                    init_longcat_dit)
     from worldforge_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
@@ -191,7 +191,8 @@ def _dryrun_longcat_vc(mesh) -> None:
     import dataclasses as _dc
 
     vae_cfg = WanVAEConfig.tiny()
-    cfg = _dc.replace(LongCatDiTConfig.tiny(),
+    # heads divisible by every sp the factorings produce (<=4)
+    cfg = _dc.replace(LongCatDiTConfig.tiny(), num_heads=4,
                       in_channels=vae_cfg.z_dim, out_channels=vae_cfg.z_dim)
     pipe = LongCatPipeline(
         dit_params=shard_params_fsdp(
@@ -199,22 +200,25 @@ def _dryrun_longcat_vc(mesh) -> None:
         dit_cfg=cfg,
         vae_params=shard_params_fsdp(
             init_wan_vae(jax.random.key(41), vae_cfg), mesh),
-        vae_cfg=vae_cfg, vc_cache_dtype="bfloat16")  # the 16 GB recipe
+        vae_cfg=vae_cfg, vc_cache_dtype="bfloat16",  # the 16 GB recipe
+        mesh=mesh)
 
-    video = jax.random.uniform(jax.random.key(42), (1, 3, 5, 16, 16),
+    # 32 px -> latent 4x4 -> patch (1,2,2) -> 4 tokens/frame: noise Sn=8,
+    # cond Sc=8, Sc+Sn=16 — divisible by every sp the factorings produce
+    video = jax.random.uniform(jax.random.key(42), (1, 3, 5, 32, 32),
                                jnp.float32) * 2.0 - 1.0
     pe = jax.random.normal(jax.random.key(43),
                            (1, 6, cfg.caption_channels), jnp.float32)
     pm = jnp.ones((1, 6), jnp.int32)
     with mesh:
         out = pipe.generate_vc(jax.random.key(44), video, pe, pm,
-                               height=16, width=16, num_frames=13,
+                               height=32, width=32, num_frames=13,
                                num_cond_frames=5, num_inference_steps=3,
                                enhance_hf=False, output_type="latent")
     arr = np.asarray(out)
     assert np.isfinite(arr).all(), "vc dryrun non-finite"
-    print(f"  longcat vc (KV-cache continuation, bf16 cache, FSDP) "
-          f"phase: ok, out {arr.shape}")
+    print(f"  longcat vc (KV-cache continuation, bf16 cache, FSDP + "
+          f"sp-Ulysses sharded cache) phase: ok, out {arr.shape}")
 
 
 def _dryrun_avatar(mesh) -> None:

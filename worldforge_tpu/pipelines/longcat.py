@@ -136,7 +136,8 @@ class LongCatPipeline:
         def cache_cond(params, cond_lat):
             return longcat_dit_cache_cond(
                 params, cfg, cond_lat, policy=self.policy,
-                cache_dtype=jnp.dtype(self.vc_cache_dtype))
+                cache_dtype=jnp.dtype(self.vc_cache_dtype),
+                mesh=self.mesh)
 
         @functools.partial(jax.jit, static_argnums=(5,))
         def step(params, latents, t_per_frame, ctx, kv_cache, cond_grid,
@@ -144,7 +145,7 @@ class LongCatPipeline:
             return longcat_dit_forward_with_cache(
                 params, cfg, latents.astype(jnp.float32), t_per_frame, ctx,
                 kv_cache, cond_grid, encoder_attention_mask=ctx_mask,
-                policy=self.policy)
+                policy=self.policy, mesh=self.mesh)
 
         return cache_cond, step
 
