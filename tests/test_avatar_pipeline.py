@@ -21,6 +21,43 @@ def test_encode_audio_windows_shapes(rng):
     assert w.shape == (1, 9, 5, cfg.num_layers, cfg.hidden_size)
 
 
+def test_avatar_forward_ulysses_parity(rng):
+    """Avatar self-attention over a (dp,fsdp,sp) mesh (Ulysses through
+    _self_attention_lc) must match the single-device forward."""
+    from worldforge_tpu.core.mesh import make_mesh
+    from worldforge_tpu.models.longcat.avatar import avatar_dit_forward
+    from worldforge_tpu.models.longcat.dit import LongCatDiTConfig
+    from worldforge_tpu.parallel.sharding import shard_params_fsdp
+
+    base = LongCatDiTConfig(in_channels=4, out_channels=4, hidden_size=64,
+                            depth=2, num_heads=4, caption_channels=32,
+                            adaln_tembed_dim=32,
+                            frequency_embedding_size=16)
+    cfg = AvatarConfig(base=base, audio_blocks=2, audio_channels=8,
+                       intermediate_dim=16, output_dim=8, context_tokens=4)
+    params = init_avatar_dit(jax.random.key(10), cfg, dtype=jnp.float32)
+    b, t_lat, hh, ww = 1, 3, 8, 8       # 16 tokens/frame: 48 total, %4==0
+    lat = jnp.asarray(rng.standard_normal((b, 4, t_lat, hh, ww)),
+                      jnp.float32)
+    tb = jnp.full((b, t_lat), 500.0, jnp.float32)
+    tb = tb.at[:, 0].set(0.0)
+    ctx = jnp.asarray(rng.standard_normal((b, 6, 32)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal(
+        (b, 1 + (t_lat - 1) * 4, cfg.audio_window, cfg.audio_blocks,
+         cfg.audio_channels)), jnp.float32)
+
+    ref = avatar_dit_forward(params, cfg, lat, tb, ctx, audio,
+                             num_cond_latents=1, policy=FP32_POLICY)
+    mesh = make_mesh(dp=1, fsdp=2, sp=4)
+    sharded = shard_params_fsdp(params, mesh)
+    with mesh:
+        out = jax.jit(lambda p, x: avatar_dit_forward(
+            p, cfg, x, tb, ctx, audio, num_cond_latents=1,
+            policy=FP32_POLICY, mesh=mesh))(sharded, lat)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+
+
 def test_avatar_pipeline_generate(rng):
     vae_cfg = WanVAEConfig.tiny()   # z=4, stride (4,8,8)
     from worldforge_tpu.models.longcat.dit import LongCatDiTConfig

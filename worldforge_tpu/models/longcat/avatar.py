@@ -376,11 +376,15 @@ def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
                          mask_frame_range: Optional[int] = None,
                          ref_target_masks: Optional[jnp.ndarray] = None,
                          policy: Policy = DEFAULT_POLICY,
-                         attn_impl: str = "auto", token_chunk: int = 1):
+                         attn_impl: str = "auto", token_chunk: int = 1,
+                         mesh=None):
     """Base LongCat block with the audio cross-attn branch inserted between
     text cross-attn and FFN (longcat_video_dit_avatar.py:98-192).
     audio: [B, T, M, C_a] per-latent-frame context tokens (2M tokens per
-    frame in multitalk). ref_target_masks [2, Nh*Nw] enables multitalk."""
+    frame in multitalk). ref_target_masks [2, Nh*Nw] enables multitalk.
+    mesh: sp>1 routes the base self-attention through Ulysses
+    (_self_attention_lc; the ref-map/multitalk variant stays unsharded —
+    its attention-map statistics need the full sequence per device)."""
     base = cfg.base
     b, n, c = x.shape
     mod = P.dense(p["adaln"], jax.nn.silu(t_emb.astype(jnp.float32)),
@@ -400,7 +404,7 @@ def avatar_layer_forward(p, cfg: AvatarConfig, x, t_emb, ctx, kv_lens,
     else:
         y = _self_attention_lc(p, base, x_m.astype(policy.compute_dtype),
                                cos, sin, T, num_cond_latents, policy,
-                               attn_impl)
+                               attn_impl, mesh=mesh)
     yf = y.astype(jnp.float32).reshape(b, T, n // T, c)
     xf = xf + (g_a[:, :, None] * yf).reshape(b, n, c)
 
@@ -609,7 +613,8 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
                        mask_frame_range: Optional[int] = None,
                        ref_target_masks: Optional[jnp.ndarray] = None,
                        policy: Policy = DEFAULT_POLICY,
-                       attn_impl: str = "auto", token_chunk: int = 1):
+                       attn_impl: str = "auto", token_chunk: int = 1,
+                       mesh=None):
     """hidden_states [B, C_in, T, H, W]; audio_embs [B, T_video, W, S, C_a]
     per-video-frame wav2vec windows — with the batch axis holding the TWO
     speakers when ref_target_masks ([2, H, W] pixel masks, multitalk) is
@@ -628,6 +633,13 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
     x = P.dense(params["x_embedder"],
                 patchify(hidden_states.astype(policy.compute_dtype),
                          base.patch_size))
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        sp_ok = (mesh.shape.get("sp", 1) > 1
+                 and (nt * nh * nw) % mesh.shape["sp"] == 0)
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PS("dp", "sp" if sp_ok else None,
+                                      None)))
 
     te = timestep_embedding(timestep.reshape(-1),
                             base.frequency_embedding_size)
@@ -683,7 +695,8 @@ def avatar_dit_forward(params, cfg: AvatarConfig, hidden_states, timestep,
                                    audio, cos, sin, nt, num_cond_latents,
                                    num_ref_latents or 0, ref_img_index,
                                    mask_frame_range, token_masks, policy,
-                                   attn_impl, token_chunk=token_chunk)
+                                   attn_impl, token_chunk=token_chunk,
+                                   mesh=mesh)
         return out, None
 
     xN, _ = jax.lax.scan(body, x.astype(jnp.float32), params["blocks"])

@@ -307,12 +307,18 @@ def _self_attention_lc(p, cfg, x_m, cos, sin, T, num_cond_latents,
                 return bsa_attention_3d(
                     q_, k_, v_, (tq, grid3d[1], grid3d[2]),
                     (tk, grid3d[1], grid3d[2]), **bsa_params)
-    elif mesh is not None and mesh.shape.get("sp", 1) > 1:
-        from worldforge_tpu.parallel.ulysses import ulysses_attention
-        attn = lambda q_, k_, v_: ulysses_attention(q_, k_, v_, mesh=mesh,
-                                                    impl=attn_impl)
     else:
-        attn = lambda q_, k_, v_: attention(q_, k_, v_, impl=attn_impl)
+        sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+        nc_seg = num_cond_latents * (n // T) if num_cond_latents else 0
+        # static guard: every attention segment's sequence AND the head
+        # count must divide sp (shard_map hard-errors otherwise)
+        if (sp > 1 and h % sp == 0 and (n - nc_seg) % sp == 0
+                and nc_seg % sp == 0):
+            from worldforge_tpu.parallel.ulysses import ulysses_attention
+            attn = lambda q_, k_, v_: ulysses_attention(
+                q_, k_, v_, mesh=mesh, impl=attn_impl)
+        else:
+            attn = lambda q_, k_, v_: attention(q_, k_, v_, impl=attn_impl)
 
     if num_cond_latents:
         nc = num_cond_latents * (n // T)

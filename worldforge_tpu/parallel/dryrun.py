@@ -234,6 +234,13 @@ def _dryrun_avatar(mesh) -> None:
     from worldforge_tpu.pipelines.avatar import AvatarPipeline
 
     vae_cfg = WanVAEConfig.tiny()
+    # NOTE: the avatar pipeline itself supports mesh sp-Ulysses (parity
+    # gated in tests/test_avatar_pipeline.py::
+    # test_avatar_forward_ulysses_parity); this dryrun phase runs the
+    # FSDP layout — the full generate at sp-divisible shapes segfaults
+    # the CPU backend's shard_map on this jax build (reproducible; the
+    # direct forward is fine), so the driver artifact stays on the
+    # known-good path
     base = LongCatDiTConfig(in_channels=vae_cfg.z_dim,
                             out_channels=vae_cfg.z_dim, hidden_size=64,
                             depth=2, num_heads=2, caption_channels=32,

@@ -54,6 +54,9 @@ class AvatarPipeline:
     policy: Policy = DEFAULT_POLICY
     vae_scale_t: int = 4
     vae_scale_s: int = 8
+    # jax.sharding.Mesh: sp>1 routes the base self-attention through
+    # Ulysses (models/longcat/avatar.py)
+    mesh: object = None
 
     @functools.cached_property
     def _dit_fn(self):
@@ -66,7 +69,7 @@ class AvatarPipeline:
                                       ctx, audio,
                                       encoder_attention_mask=ctx_mask,
                                       num_cond_latents=num_cond,
-                                      policy=policy)
+                                      policy=policy, mesh=self.mesh)
 
         return run
 
